@@ -1,0 +1,708 @@
+"""TPU-native NDT registration with per-voxel static weights.
+
+Re-design of the reference's flagship kernel — the manual Normal
+Distributions Transform (Magnusson 2009) with static-point weighting
+(src/models/registration/ndt_registration_manual/NormalDistributionsTransform.cpp:14-978
+and VoxelGrid.cpp:17-811) — as pure, statically-shaped JAX:
+
+- The voxel Gaussian map is a dense regular grid built in one shot with
+  `segment_sum` scatters + a batched closed-form 3x3 eigendecomposition for
+  covariance conditioning (replacing the per-voxel CPU loop of
+  VoxelGrid::computeCentroidAndCovariance, VoxelGrid.cpp:272-325).
+- Voxel neighbourhood lookup is a static 3x3x3 stencil gather with a true
+  `|centroid - x'| <= resolution` distance gate — provably equivalent to the
+  reference's `radiusSearch(x', resolution)` over voxel centroids
+  (VoxelGrid.cpp:432-480) because a centroid lies inside its own cell, so no
+  in-radius centroid can be more than one cell away. The octree
+  (Octree.cpp) has no TPU equivalent and is not needed.
+- Score / gradient / Hessian accumulation vectorizes Magnusson's analytic
+  angle Jacobians and Hessians (computeAngleDerivatives,
+  NormalDistributionsTransform.cpp:523-645) into three small constant
+  tensors per iteration; the per-(point, voxel) reduction is batched einsums
+  chunked over points.
+- The Newton iteration with More-Thuente line search
+  (computeStepLengthMT, :648-756) is a bounded `lax.while_loop`.
+
+Reference quirks handled explicitly:
+- The reference multiplies the static weight into the *score* only, not into
+  the gradient/Hessian (NormalDistributionsTransform.cpp:436-441);
+  `NDTConfig.weight_derivatives=True` (our default) also weights the
+  derivatives, which is the principled version of the feature. Set it False
+  for reference-compatible behaviour.
+- The reference's line-search loop is dead code: `interval_converged` is
+  initialized `(step_max - step_min) > 0` (= true) so zero More-Thuente
+  iterations ever run and the accepted step is simply the Newton step
+  clamped to [eps/2, step_size] (NormalDistributionsTransform.cpp:682-756;
+  upstream PCL uses `< 0`). `NDTConfig.max_step_iterations=0` (default)
+  reproduces that effective behaviour; >0 enables the real More-Thuente
+  search.
+
+Pose parameterization matches the reference: p = (tx, ty, tz, roll, pitch,
+yaw) with R = Rx(roll) Ry(pitch) Rz(yaw) (Eigen eulerAngles(0,1,2)).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from ...geom.se3 import euler_xyz_to_matrix, matrix_to_euler_xyz, make_pose
+from ...ops.eigh3 import sym_eigh3
+from ...ops.pointcloud import PointCloud
+
+
+@dataclasses.dataclass(frozen=True)
+class NDTConfig:
+    """Static NDT parameters (hashable; safe as a jit static argument).
+
+    Defaults mirror config/mapping/front_end.yaml:1-66 and the manual NDT
+    constructor (NormalDistributionsTransform.cpp:14-35).
+    """
+
+    resolution: float = 1.0
+    step_size: float = 0.1
+    trans_eps: float = 0.01
+    max_iter: int = 30
+    outlier_ratio: float = 0.55
+    min_points_per_voxel: int = 6
+    grid_dims: Tuple[int, int, int] = (256, 256, 64)
+    # capacity of the compact occupied-voxel table (dense grids are ~99.9%
+    # empty; the hot kernel gathers 4 B indices from the dense grid and 64 B
+    # stats from this small table — ~10x less HBM gather traffic than
+    # gathering stats rows from the dense grid directly)
+    max_compact_voxels: int = 65536
+    weight_derivatives: bool = True
+    # More-Thuente step-length iterations. 0 (default) reproduces the
+    # reference's effective behaviour (its loop is dead code — see module
+    # docstring): Newton steps clamped to [eps/2, step_size]. >0 enables the
+    # real line search — measured 7 vs 60+ iterations to converge at res
+    # 0.5 with tighter error, but it can also lock onto step_min on
+    # indefinite-Hessian iterations and stop early on sparse maps, so it is
+    # opt-in per use site (e.g. fine-resolution refinement passes).
+    max_step_iterations: int = 0
+    point_chunk: int = 8192
+
+    def gauss_params(self) -> Tuple[float, float]:
+        """Gaussian-mixture d1/d2 (eq. 6.8, Magnusson 2009) as in
+        NormalDistributionsTransform.cpp:316-321."""
+        c1 = 10.0 * (1.0 - self.outlier_ratio)
+        c2 = self.outlier_ratio / (self.resolution**3)
+        d3 = -math.log(c2)
+        d1 = -math.log(c1 + c2) - d3
+        d2 = -2.0 * math.log((-math.log(c1 * math.exp(-0.5) + c2) - d3) / d1)
+        return d1, d2
+
+
+@flax.struct.dataclass
+class NDTMap:
+    """Dense voxel-Gaussian map (the reference's VoxelGrid, without pointers).
+
+    `packed` carries every per-voxel statistic the derivative kernel reads in
+    ONE gather-friendly [V, 16] row (64 B, aligned):
+      [0:3] mean, [3] staticvalue, [4:10] icov upper triangle
+      (xx, xy, xz, yy, yz, zz), [10] valid (0/1), [11] count, [12:16] pad.
+    Four separate gathers from a multi-million-voxel table dominated the
+    runtime on TPU; one packed row per stencil slot is ~4x cheaper.
+    """
+
+    origin: jax.Array  # [3] grid min corner (metres)
+    count: jax.Array  # [V] float32 points per voxel (0 for empty)
+    mean: jax.Array  # [V, 3]
+    icov: jax.Array  # [V, 3, 3] conditioned inverse covariance
+    staticvalue: jax.Array  # [V] mean static weight per voxel
+    valid: jax.Array  # [V] bool: enough points & non-degenerate covariance
+    index: jax.Array  # [V] int32 -> row in `packed` (sentinel = last row)
+    packed: jax.Array  # [C+1, 16] compact stats; last row is the zero sentinel
+    dims: Tuple[int, int, int] = flax.struct.field(pytree_node=False)
+    resolution: float = flax.struct.field(pytree_node=False, default=1.0)
+
+
+@flax.struct.dataclass
+class NDTResult:
+    pose: jax.Array  # [4, 4] final transform
+    trans_probability: jax.Array  # score / n_valid_points
+    score: jax.Array
+    iterations: jax.Array
+    converged: jax.Array
+    gradient: jax.Array  # [6] at the solution
+    hessian: jax.Array  # [6, 6] at the solution
+
+
+def _flat_vid(coords, dims):
+    return (coords[..., 0] * dims[1] + coords[..., 1]) * dims[2] + coords[..., 2]
+
+
+def build_ndt_map(cloud: PointCloud, config: NDTConfig, origin=None) -> NDTMap:
+    """Scatter a target cloud into per-voxel Gaussians.
+
+    Equivalent of VoxelGrid::setInput -> scatterPointsToVoxelGrid ->
+    computeCentroidAndCovariance (VoxelGrid.cpp:244-325), fully vectorized.
+    Points outside origin + dims*resolution are dropped.
+    """
+    dims = config.grid_dims
+    v = dims[0] * dims[1] * dims[2]
+    res = jnp.float32(config.resolution)
+    pts = cloud.points
+    mask = cloud.mask
+    w = cloud.get_weights()
+
+    if origin is None:
+        big = jnp.float32(1e9)
+        mn = jnp.min(jnp.where(mask[:, None], pts, big), axis=0)
+        # snap to the voxel lattice with one cell of margin
+        origin = jnp.floor(mn / res - 1.0) * res
+    origin = jnp.asarray(origin, jnp.float32)
+
+    coords = jnp.floor((pts - origin) / res).astype(jnp.int32)
+    inb = jnp.all((coords >= 0) & (coords < jnp.asarray(dims, jnp.int32)), axis=-1)
+    ok = mask & inb
+    vid = jnp.where(ok, _flat_vid(coords, dims), 0)
+    okf = ok.astype(jnp.float32)
+
+    count = jax.ops.segment_sum(okf, vid, num_segments=v)
+    psum = jax.ops.segment_sum(pts * okf[:, None], vid, num_segments=v)
+    outer = pts[:, :, None] * pts[:, None, :]
+    ppsum = jax.ops.segment_sum(outer.reshape(-1, 9) * okf[:, None], vid, num_segments=v)
+    wsum = jax.ops.segment_sum(w * okf, vid, num_segments=v)
+
+    n = jnp.maximum(count, 1.0)
+    mean = psum / n[:, None]
+    staticvalue = wsum / n
+    # cov = (sum pp^T / n - mu mu^T) * (n-1)/n  (VoxelGrid.cpp:292-295)
+    cov = ppsum.reshape(-1, 3, 3) / n[:, None, None] - mean[:, :, None] * mean[:, None, :]
+    cov = cov * ((n - 1.0) / n)[:, None, None]
+
+    evals, evecs = sym_eigh3(cov)
+    enough = count >= float(config.min_points_per_voxel)
+    # Reference marks voxels with negative / zero eigenvalues degenerate
+    # (points_per_voxel = -1, VoxelGrid.cpp:303-306).
+    nondegen = (evals[:, 0] >= 0.0) & (evals[:, 2] > 0.0)
+    # Inflate small eigenvalues to 1% of the largest (VoxelGrid.cpp:308-318).
+    min_ev = 0.01 * evals[:, 2]
+    evc = jnp.maximum(evals, min_ev[:, None])
+    inv_ev = 1.0 / jnp.maximum(evc, 1e-12)
+    # icov = V diag(1/l) V^T, written as broadcast-multiply + sum on purpose:
+    # a batched-3x3 dot_general here pads every matrix to an MXU tile and
+    # blows HBM at millions of voxels (observed 24 GB at V = 4.2M).
+    scaled = evecs * inv_ev[:, None, :]  # [V, 3, 3]
+    icov = jnp.sum(scaled[:, :, None, :] * evecs[:, None, :, :], axis=-1)
+
+    valid = enough & nondegen
+    icov = jnp.where(valid[:, None, None], icov, 0.0)
+    rows = jnp.concatenate(
+        [
+            mean,  # 0:3
+            staticvalue[:, None],  # 3
+            icov[:, 0, 0:3],  # 4:7 (xx, xy, xz)
+            icov[:, 1, 1:3],  # 7:9 (yy, yz)
+            icov[:, 2, 2:3],  # 9 (zz)
+            valid[:, None].astype(jnp.float32),  # 10
+            count[:, None],  # 11
+            jnp.zeros((v, 4), jnp.float32),  # 12:16 pad to 64 B
+        ],
+        axis=-1,
+    )
+    # compact the (sparse) valid voxels: dense grid holds only int32 row
+    # indices; stats live in a small table the stencil gather can cache
+    cap = config.max_compact_voxels
+    pos = jnp.cumsum(valid.astype(jnp.int32)) - 1
+    in_cap = valid & (pos < cap)
+    index = jnp.where(in_cap, pos, cap).astype(jnp.int32)
+    scatter_to = jnp.where(in_cap, pos, cap)
+    packed = jnp.zeros((cap + 1, 16), jnp.float32).at[scatter_to].set(
+        jnp.where(in_cap[:, None], rows, 0.0), mode="drop"
+    )
+    packed = packed.at[cap].set(0.0)  # zero sentinel row (valid flag = 0)
+    return NDTMap(
+        origin=origin,
+        count=count,
+        mean=mean,
+        icov=icov,
+        staticvalue=staticvalue,
+        valid=valid,
+        index=index,
+        packed=packed,
+        dims=dims,
+        resolution=config.resolution,
+    )
+
+
+def _angle_jacobian_tensors(pose):
+    """The eight j_ang and fifteen h_ang vectors of computeAngleDerivatives
+    (NormalDistributionsTransform.cpp:525-645), packed as tensors so the
+    per-point derivatives become einsums:
+
+      Jrot[r, c] = JANG[c, r, :] . x       (rotation block of dx'/dp)
+      Hrot[a, b, r] = HANG[a, b, r, :] . x (rotation-rotation point Hessian)
+    """
+    rx, ry, rz = pose[3], pose[4], pose[5]
+    # Reference snaps tiny angles to exactly zero (cpp:528-548).
+    def cs(a):
+        tiny = jnp.abs(a) < 1e-4
+        return jnp.where(tiny, 1.0, jnp.cos(a)), jnp.where(tiny, 0.0, jnp.sin(a))
+
+    cx, sx = cs(rx)
+    cy, sy = cs(ry)
+    cz, sz = cs(rz)
+    z3 = jnp.zeros(())
+
+    j_a = jnp.stack([-sx * sz + cx * sy * cz, -sx * cz - cx * sy * sz, -cx * cy])
+    j_b = jnp.stack([cx * sz + sx * sy * cz, cx * cz - sx * sy * sz, -sx * cy])
+    j_c = jnp.stack([-sy * cz, sy * sz, cy])
+    j_d = jnp.stack([sx * cy * cz, -sx * cy * sz, sx * sy])
+    j_e = jnp.stack([-cx * cy * cz, cx * cy * sz, -cx * sy])
+    j_f = jnp.stack([-cy * sz, -cy * cz, z3])
+    j_g = jnp.stack([cx * cz - sx * sy * sz, -cx * sz - sx * sy * cz, z3])
+    j_h = jnp.stack([sx * cz + cx * sy * sz, cx * sy * cz - sx * sz, z3])
+
+    zero3 = jnp.zeros((3,))
+    # JANG[c, r, :]: column c (roll/pitch/yaw), row r of the rotation Jacobian.
+    jang = jnp.stack(
+        [
+            jnp.stack([zero3, j_a, j_b]),  # d/droll: rows (0, j_a, j_b)
+            jnp.stack([j_c, j_d, j_e]),  # d/dpitch
+            jnp.stack([j_f, j_g, j_h]),  # d/dyaw
+        ]
+    )
+
+    h_a2 = jnp.stack([-cx * sz - sx * sy * cz, -cx * cz + sx * sy * sz, sx * cy])
+    h_a3 = jnp.stack([-sx * sz + cx * sy * cz, -cx * sy * sz - sx * cz, -cx * cy])
+    h_b2 = jnp.stack([cx * cy * cz, -cx * cy * sz, cx * sy])
+    h_b3 = jnp.stack([sx * cy * cz, -sx * cy * sz, sx * sy])
+    h_c2 = jnp.stack([-sx * cz - cx * sy * sz, sx * sz - cx * sy * cz, z3])
+    h_c3 = jnp.stack([cx * cz - sx * sy * sz, -sx * sy * cz - cx * sz, z3])
+    h_d1 = jnp.stack([-cy * cz, cy * sz, sy])
+    h_d2 = jnp.stack([-sx * sy * cz, sx * sy * sz, sx * cy])
+    h_d3 = jnp.stack([cx * sy * cz, -cx * sy * sz, -cx * cy])
+    h_e1 = jnp.stack([sy * sz, sy * cz, z3])
+    h_e2 = jnp.stack([-sx * cy * sz, -sx * cy * cz, z3])
+    h_e3 = jnp.stack([cx * cy * sz, cx * cy * cz, z3])
+    h_f1 = jnp.stack([-cy * cz, cy * sz, z3])
+    h_f2 = jnp.stack([-cx * sz - sx * sy * cz, -cx * cz + sx * sy * sz, z3])
+    h_f3 = jnp.stack([-sx * sz + cx * sy * cz, -cx * sy * sz - sx * cz, z3])
+
+    # Vectors a..f of computePointDerivatives (cpp:463-470): component r of
+    # the (angle_i, angle_j) second derivative is h[i][j][r] . x.
+    va = jnp.stack([zero3, h_a2, h_a3])
+    vb = jnp.stack([zero3, h_b2, h_b3])
+    vc = jnp.stack([zero3, h_c2, h_c3])
+    vd = jnp.stack([h_d1, h_d2, h_d3])
+    ve = jnp.stack([h_e1, h_e2, h_e3])
+    vf = jnp.stack([h_f1, h_f2, h_f3])
+    hang = jnp.stack(
+        [
+            jnp.stack([va, vb, vc]),
+            jnp.stack([vb, vd, ve]),
+            jnp.stack([vc, ve, vf]),
+        ]
+    )  # [3, 3, 3(component r), 3(dot with x)]
+    return jang, hang
+
+
+def _stencil27():
+    # plain numpy on purpose: a cached jnp array would leak tracers across
+    # jit scopes (it is a fresh constant in every trace)
+    import numpy as np
+
+    ax = np.arange(-1, 2)
+    ox, oy, oz = np.meshgrid(ax, ax, ax, indexing="ij")
+    return np.stack([ox.ravel(), oy.ravel(), oz.ravel()], axis=-1).astype(np.int32)
+
+
+def _pose_to_matrix(pose):
+    R = euler_xyz_to_matrix(pose[3], pose[4], pose[5])
+    return make_pose(R, pose[:3])
+
+
+def _matrix_to_pose(T):
+    rx, ry, rz = matrix_to_euler_xyz(T[:3, :3])
+    return jnp.concatenate([T[:3, 3], jnp.stack([rx, ry, rz])])
+
+
+def ndt_derivatives(
+    ndt_map: NDTMap,
+    points,
+    mask,
+    pose,
+    config: NDTConfig,
+    compute_hessian: bool = True,
+    weights=None,
+):
+    """Score, gradient and Hessian of the weighted NDT objective at `pose`.
+
+    Vectorized equivalent of computeDerivatives
+    (NormalDistributionsTransform.cpp:391-445). Chunked over points to bound
+    the materialized [chunk, 27, ...] intermediates.
+
+    Returns (score, gradient [6], hessian [6, 6]); hessian is zeros when
+    compute_hessian=False.
+    """
+    d1, d2 = config.gauss_params()
+    d1 = jnp.float32(d1)
+    d2 = jnp.float32(d2)
+    dims = ndt_map.dims
+    v = dims[0] * dims[1] * dims[2]
+    res = jnp.float32(ndt_map.resolution)
+
+    R = euler_xyz_to_matrix(pose[3], pose[4], pose[5])
+    t = pose[:3]
+    jang, hang = _angle_jacobian_tensors(pose)
+    stencil = _stencil27()
+
+    if weights is None:
+        weights = jnp.ones(points.shape[:-1], jnp.float32)
+
+    chunk = config.point_chunk
+    n = points.shape[0]
+    pad = (-n) % chunk
+    pts_c = jnp.pad(points, ((0, pad), (0, 0))).reshape(-1, chunk, 3)
+    mask_c = jnp.pad(mask, (0, pad)).reshape(-1, chunk)
+    w_c = jnp.pad(weights, (0, pad)).reshape(-1, chunk)
+
+    def one_chunk(args):
+        x, m, pw = args  # [C,3], [C], [C]
+        xp = x @ R.T + t  # transformed points
+
+        cell = jnp.floor((xp - ndt_map.origin) / res).astype(jnp.int32)
+        cand = cell[:, None, :] + stencil[None, :, :]  # [C, 27, 3]
+        inb = jnp.all((cand >= 0) & (cand < jnp.asarray(dims, jnp.int32)), axis=-1)
+        vid = jnp.where(inb, _flat_vid(cand, dims), 0)
+
+        # two-level gather: 4 B/slot from the dense index grid, then 64 B
+        # stats rows from the small compact table (see NDTMap docstring)
+        ci = ndt_map.index[vid]  # [C, 27] int32
+        pk = ndt_map.packed[ci]  # [C, 27, 16]
+        mu = pk[..., 0:3]
+        sv = pk[..., 3]
+        ixx, ixy, ixz = pk[..., 4], pk[..., 5], pk[..., 6]
+        iyy, iyz, izz = pk[..., 7], pk[..., 8], pk[..., 9]
+        vvalid = (pk[..., 10] > 0.5) & inb
+
+        e = xp[:, None, :] - mu
+        # radiusSearch gate: centroid within `resolution` of the transformed
+        # point (NormalDistributionsTransform.cpp:424).
+        gate = vvalid & (jnp.sum(e * e, axis=-1) <= res * res) & m[:, None]
+
+        # q = C^-1 e from the symmetric-packed components (VPU elementwise;
+        # avoids materializing [C, 27, 3, 3] for the score/gradient path)
+        ex, ey, ez = e[..., 0], e[..., 1], e[..., 2]
+        q = jnp.stack(
+            [
+                ixx * ex + ixy * ey + ixz * ez,
+                ixy * ex + iyy * ey + iyz * ez,
+                ixz * ex + iyz * ey + izz * ez,
+            ],
+            axis=-1,
+        )
+        md = jnp.sum(q * e, axis=-1)
+        expt = jnp.exp(-0.5 * d2 * md)
+        # updateDerivatives guards d2*exp(...) in [0, 1] (cpp:494-500).
+        exd = d2 * expt
+        gate = gate & (exd <= 1.0) & (exd >= 0.0) & jnp.isfinite(exd)
+        gf = gate.astype(jnp.float32)
+
+        score = jnp.sum(gf * sv * pw[:, None] * (-d1) * expt)
+
+        dw = sv * pw[:, None] if config.weight_derivatives else pw[:, None] * jnp.ones_like(sv)
+        f = gf * dw * d1 * d2 * expt  # [C, 27]
+
+        # Point Jacobian J [C, 3(row), 6(col)]; rotation block
+        # Jrot[c, r, a] = jang[a, r, :] . x[c]  (computePointDerivatives,
+        # NormalDistributionsTransform.cpp:453-460)
+        jrot = jnp.einsum("arj,cj->cra", jang, x)
+        J = jnp.concatenate(
+            [jnp.broadcast_to(jnp.eye(3), (x.shape[0], 3, 3)), jrot], axis=-1
+        )  # [C, 3, 6]
+
+        qJ = jnp.einsum("csk,ckp->csp", q, J)  # [C, 27, 6]
+        grad = jnp.einsum("cs,csp->p", f, qJ)
+
+        if compute_hessian:
+            # term1 = -d2 (qJ)(qJ)^T; term3 = J^T C J
+            h1 = -d2 * jnp.einsum("cs,csi,csj->ij", f, qJ, qJ)
+            cinv = jnp.stack(
+                [
+                    jnp.stack([ixx, ixy, ixz], axis=-1),
+                    jnp.stack([ixy, iyy, iyz], axis=-1),
+                    jnp.stack([ixz, iyz, izz], axis=-1),
+                ],
+                axis=-2,
+            )  # [C, 27, 3, 3]
+            cJ = jnp.einsum("csik,ckp->csip", cinv, J)  # [C, 27, 3, 6]
+            h3 = jnp.einsum("cs,cki,cskj->ij", f, J, cJ)
+            # term2: q . Hrot over the rotation-rotation block
+            hrot = jnp.einsum("abrk,ck->cabr", hang, x)  # [C, 3, 3, 3]
+            h2r = jnp.einsum("cs,csr,cabr->ab", f, q, hrot)  # [3, 3]
+            hess = h1 + h3
+            hess = hess.at[3:, 3:].add(h2r)
+        else:
+            hess = jnp.zeros((6, 6))
+        return score, grad, hess
+
+    scores, grads, hesses = jax.lax.map(one_chunk, (pts_c, mask_c, w_c))
+    return jnp.sum(scores), jnp.sum(grads, axis=0), jnp.sum(hesses, axis=0)
+
+
+def _solve_newton(hessian, gradient):
+    """delta = H^+ (-g) via symmetric eigendecomposition (the reference uses
+    JacobiSVD, cpp:353-355; for a symmetric 6x6 these agree)."""
+    evals, evecs = jnp.linalg.eigh(hessian)
+    inv = jnp.where(jnp.abs(evals) > 1e-10, 1.0 / evals, 0.0)
+    return -(evecs @ (inv * (evecs.T @ gradient)))
+
+
+def _psi(a, phi_a, phi_0, d_phi_0, mu):
+    return phi_a - phi_0 - mu * d_phi_0 * a
+
+
+def _d_psi(d_phi_a, d_phi_0, mu):
+    return d_phi_a - mu * d_phi_0
+
+
+def _trial_value_selection(a_l, f_l, g_l, a_u, f_u, g_u, a_t, f_t, g_t):
+    """More-Thuente trial value selection, 4 cases
+    (trialValueSelectionMT, NormalDistributionsTransform.cpp:762-838),
+    expressed branch-free with jnp.where."""
+    eps = 1e-12
+    dal = a_t - a_l
+    safe_dal = jnp.where(jnp.abs(dal) < eps, eps, dal)
+
+    z1 = 3.0 * (f_t - f_l) / safe_dal - g_t - g_l
+    w1 = jnp.sqrt(jnp.maximum(z1 * z1 - g_t * g_l, 0.0))
+    a_c = a_l + dal * (w1 - g_l - z1) / jnp.where(
+        jnp.abs(g_t - g_l + 2.0 * w1) < eps, eps, g_t - g_l + 2.0 * w1
+    )
+
+    denom_q = g_l - (f_l - f_t) / safe_dal
+    a_q = a_l - 0.5 * dal * g_l / jnp.where(jnp.abs(denom_q) < eps, eps, denom_q)
+
+    denom_s = g_l - g_t
+    a_s = a_l - dal / jnp.where(jnp.abs(denom_s) < eps, eps, denom_s) * g_l
+
+    # Case 1: f_t > f_l
+    case1 = jnp.where(jnp.abs(a_c - a_l) < jnp.abs(a_q - a_l), a_c, 0.5 * (a_q + a_c))
+    # Case 2: g_t * g_l < 0
+    case2 = jnp.where(jnp.abs(a_c - a_t) >= jnp.abs(a_s - a_t), a_c, a_s)
+    # Case 3: |g_t| <= |g_l|
+    a_t_next = jnp.where(jnp.abs(a_c - a_t) < jnp.abs(a_s - a_t), a_c, a_s)
+    case3 = jnp.where(
+        a_t > a_l,
+        jnp.minimum(a_t + 0.66 * (a_u - a_t), a_t_next),
+        jnp.maximum(a_t + 0.66 * (a_u - a_t), a_t_next),
+    )
+    # Case 4: cubic on the u side
+    dau = a_t - a_u
+    safe_dau = jnp.where(jnp.abs(dau) < eps, eps, dau)
+    z4 = 3.0 * (f_t - f_u) / safe_dau - g_t - g_u
+    w4 = jnp.sqrt(jnp.maximum(z4 * z4 - g_t * g_u, 0.0))
+    case4 = a_u + dau * (w4 - g_u - z4) / jnp.where(
+        jnp.abs(g_t - g_u + 2.0 * w4) < eps, eps, g_t - g_u + 2.0 * w4
+    )
+
+    return jnp.where(
+        f_t > f_l,
+        case1,
+        jnp.where(g_t * g_l < 0.0, case2, jnp.where(jnp.abs(g_t) <= jnp.abs(g_l), case3, case4)),
+    )
+
+
+def _update_interval(a_l, f_l, g_l, a_u, f_u, g_u, a_t, f_t, g_t):
+    """updateIntervalMT (cpp:841-874): returns new bounds + converged flag."""
+    c1 = f_t > f_l
+    c2 = g_t * (a_l - a_t) > 0.0
+    c3 = g_t * (a_l - a_t) < 0.0
+
+    new_a_u = jnp.where(c1, a_t, jnp.where(c2, a_u, jnp.where(c3, a_l, a_u)))
+    new_f_u = jnp.where(c1, f_t, jnp.where(c2, f_u, jnp.where(c3, f_l, f_u)))
+    new_g_u = jnp.where(c1, g_t, jnp.where(c2, g_u, jnp.where(c3, g_l, g_u)))
+    new_a_l = jnp.where(c1, a_l, a_t)
+    new_f_l = jnp.where(c1, f_l, f_t)
+    new_g_l = jnp.where(c1, g_l, g_t)
+    converged = ~(c1 | c2 | c3)
+    return new_a_l, new_f_l, new_g_l, new_a_u, new_f_u, new_g_u, converged
+
+
+def newton_align(derivs, init_pose, config: NDTConfig, n_valid_points):
+    """Newton iteration over p = (t, roll, pitch, yaw) with the (optionally
+    zero-iteration) More-Thuente step-length rule — functional port of
+    computeTransformation (NormalDistributionsTransform.cpp:310-389).
+
+    `derivs(pose6, need_hessian) -> (score, grad, hess)` abstracts where the
+    reduction runs: local arrays (ndt_align) or a device mesh with psum
+    (parallel/sharded_ndt.py).
+    """
+    mu = 1.0e-4
+    nu = 0.9
+    step_min = config.trans_eps / 2.0
+    step_max = config.step_size
+
+    p0 = _matrix_to_pose(jnp.asarray(init_pose, jnp.float32))
+    score0, grad0, hess0 = derivs(p0, True)
+
+    def line_search(p, direction, step_init, score, grad):
+        """Returns (alpha, new p, score/grad/hess at accepted point)."""
+        phi_0 = -score
+        d_phi_0 = -jnp.dot(grad, direction)
+        # Reference flips the direction if it is not a descent direction.
+        flip = d_phi_0 > 0.0
+        direction = jnp.where(flip, -direction, direction)
+        d_phi_0 = jnp.where(flip, -d_phi_0, d_phi_0)
+
+        a_t0 = jnp.clip(step_init, step_min, step_max)
+
+        if config.max_step_iterations > 0:
+
+            def eval_phi(a):
+                s, g, _ = derivs(p + a * direction, False)
+                return -s, -jnp.dot(g, direction)
+
+            phi_t, d_phi_t = eval_phi(a_t0)
+            psi_t = _psi(a_t0, phi_t, phi_0, d_phi_0, mu)
+            d_psi_t = _d_psi(d_phi_t, d_phi_0, mu)
+
+            f_l0 = _psi(0.0, phi_0, phi_0, d_phi_0, mu)
+            g_l0 = _d_psi(d_phi_0, d_phi_0, mu)
+            state = (
+                jnp.float32(0.0), f_l0, g_l0,  # a_l, f_l, g_l
+                jnp.float32(0.0), f_l0, g_l0,  # a_u, f_u, g_u
+                a_t0, phi_t, d_phi_t, psi_t, d_psi_t,
+                jnp.bool_(True),  # open interval
+                jnp.bool_(False),  # interval converged
+                jnp.int32(0),
+            )
+
+            def cond(st):
+                (_, _, _, _, _, _, _, _, d_phi_t, psi_t, _, _, conv, it) = st
+                done = (psi_t <= 0.0) & (d_phi_t <= -nu * d_phi_0)
+                return (~conv) & (it < config.max_step_iterations) & (~done)
+
+            def body(st):
+                (a_l, f_l, g_l, a_u, f_u, g_u, a_t, phi_t, d_phi_t, psi_t, d_psi_t, open_i, conv, it) = st
+                f_t = jnp.where(open_i, psi_t, phi_t)
+                g_t = jnp.where(open_i, d_psi_t, d_phi_t)
+                a_new = _trial_value_selection(a_l, f_l, g_l, a_u, f_u, g_u, a_t, f_t, g_t)
+                a_new = jnp.clip(a_new, step_min, step_max)
+                phi_n, d_phi_n = eval_phi(a_new)
+                psi_n = _psi(a_new, phi_n, phi_0, d_phi_0, mu)
+                d_psi_n = _d_psi(d_phi_n, d_phi_0, mu)
+
+                close_now = open_i & (psi_n <= 0.0) & (d_psi_n >= 0.0)
+                adj_l = phi_0 - mu * d_phi_0 * a_l
+                adj_u = phi_0 - mu * d_phi_0 * a_u
+                f_l = jnp.where(close_now, f_l + adj_l, f_l)
+                g_l = jnp.where(close_now, g_l + mu * d_phi_0, g_l)
+                f_u = jnp.where(close_now, f_u + adj_u, f_u)
+                g_u = jnp.where(close_now, g_u + mu * d_phi_0, g_u)
+                open_n = open_i & ~close_now
+
+                f_sel = jnp.where(open_n, psi_n, phi_n)
+                g_sel = jnp.where(open_n, d_psi_n, d_phi_n)
+                a_l2, f_l2, g_l2, a_u2, f_u2, g_u2, conv2 = _update_interval(
+                    a_l, f_l, g_l, a_u, f_u, g_u, a_new, f_sel, g_sel
+                )
+                return (a_l2, f_l2, g_l2, a_u2, f_u2, g_u2, a_new, phi_n, d_phi_n, psi_n, d_psi_n, open_n, conv2, it + 1)
+
+            state = jax.lax.while_loop(cond, body, state)
+            a_t = state[6]
+        else:
+            a_t = a_t0
+
+        p_new = p + a_t * direction
+        s, g, h = derivs(p_new, True)
+        return a_t, p_new, s, g, h
+
+    def newton_cond(st):
+        _, _, _, _, it, converged = st
+        return (~converged) & (it <= config.max_iter)
+
+    def newton_body(st):
+        p, score, grad, hess, it, _ = st
+        delta = _solve_newton(hess, grad)
+        dnorm = jnp.linalg.norm(delta)
+        degenerate = (dnorm == 0.0) | ~jnp.isfinite(dnorm)
+        direction = delta / jnp.where(degenerate, 1.0, dnorm)
+        alpha, p_new, s, g, h = line_search(p, direction, dnorm, score, grad)
+        p_new = jnp.where(degenerate, p, p_new)
+        s = jnp.where(degenerate, score, s)
+        converged = degenerate | ((it >= 1) & (jnp.abs(alpha) < config.trans_eps))
+        return (p_new, s, jnp.where(degenerate, grad, g), jnp.where(degenerate, hess, h), it + 1, converged)
+
+    init = (p0, score0, grad0, hess0, jnp.int32(0), jnp.bool_(False))
+    p, score, grad, hess, iters, converged = jax.lax.while_loop(newton_cond, newton_body, init)
+
+    n_valid = jnp.maximum(jnp.asarray(n_valid_points, jnp.float32), 1.0)
+    return NDTResult(
+        pose=_pose_to_matrix(p),
+        trans_probability=score / n_valid,
+        score=score,
+        iterations=iters,
+        converged=converged,
+        gradient=grad,
+        hessian=hess,
+    )
+
+
+@partial(jax.jit, static_argnames=("config",))
+def ndt_align(
+    ndt_map: NDTMap,
+    source: PointCloud,
+    init_pose,
+    config: NDTConfig = NDTConfig(),
+) -> NDTResult:
+    """Align a source cloud to the NDT map starting from init_pose [4,4]."""
+    pts = source.points
+    mask = source.mask
+    w = source.get_weights()
+
+    def derivs(pose, need_hessian):
+        return ndt_derivatives(ndt_map, pts, mask, pose, config, need_hessian, weights=w)
+
+    return newton_align(derivs, init_pose, config, source.num_valid())
+
+
+@partial(jax.jit, static_argnames=("config", "max_range"))
+def ndt_fitness_score(ndt_map: NDTMap, source: PointCloud, pose, config: NDTConfig, max_range: float = 4.0):
+    """Mean distance from transformed source points to the nearest occupied
+    voxel centroid (getFitnessScore, NormalDistributionsTransform.cpp:940-965;
+    nearest-voxel search VoxelGrid.cpp:483-543). Stencil radius covers
+    ceil(max_range / resolution) cells, capped at 2 for the TPU gather."""
+    import numpy as np
+
+    dims = ndt_map.dims
+    res = jnp.float32(ndt_map.resolution)
+    r_cells = min(2, max(1, int(math.ceil(max_range / config.resolution))))
+    ax = np.arange(-r_cells, r_cells + 1)
+    ox, oy, oz = np.meshgrid(ax, ax, ax, indexing="ij")
+    stencil = jnp.asarray(np.stack([ox.ravel(), oy.ravel(), oz.ravel()], axis=-1), jnp.int32)
+
+    T = jnp.asarray(pose, jnp.float32)
+    xp = source.points @ T[:3, :3].T + T[:3, 3]
+    chunk = 4096
+    n = xp.shape[0]
+    pad = (-n) % chunk
+    xpc = jnp.pad(xp, ((0, pad), (0, 0))).reshape(-1, chunk, 3)
+    mc = jnp.pad(source.mask, (0, pad)).reshape(-1, chunk)
+
+    def one(args):
+        x, m = args
+        cell = jnp.floor((x - ndt_map.origin) / res).astype(jnp.int32)
+        cand = cell[:, None, :] + stencil[None, :, :]
+        inb = jnp.all((cand >= 0) & (cand < jnp.asarray(dims, jnp.int32)), axis=-1)
+        vid = jnp.where(inb, _flat_vid(cand, dims), 0)
+        occupied = (ndt_map.count[vid] > 0) & inb
+        mu = ndt_map.mean[vid]
+        d = jnp.sqrt(jnp.sum((x[:, None, :] - mu) ** 2, axis=-1))
+        d = jnp.where(occupied, d, jnp.inf)
+        dmin = jnp.min(d, axis=-1)
+        use = m & (dmin < max_range)
+        return jnp.sum(jnp.where(use, dmin, 0.0)), jnp.sum(use.astype(jnp.float32))
+
+    sums, counts = jax.lax.map(one, (xpc, mc))
+    total = jnp.sum(counts)
+    return jnp.where(total > 0, jnp.sum(sums) / jnp.maximum(total, 1.0), jnp.inf)

@@ -1,0 +1,84 @@
+import numpy as np
+import jax.numpy as jnp
+
+from lidar_slam_tpu.io import SyntheticWorld, simulate_scan, make_trajectory
+from lidar_slam_tpu.models.scan_context import (
+    SCManager,
+    ScanContextConfig,
+    make_scancontext,
+    sc_distance,
+    ring_key,
+)
+
+CFG = ScanContextConfig(num_exclude_recent=5)
+
+
+def scan_at(world, pose, seed):
+    pts, mask, _ = simulate_scan(world, pose, n_points=8192, max_range=70.0, seed=seed)
+    return pts, mask
+
+
+class TestDescriptor:
+    def test_shape_and_content(self):
+        world = SyntheticWorld.corridor(length=60, seed=0)
+        pose = make_trajectory(1)[0]
+        pts, mask = scan_at(world, pose, 1)
+        desc = np.asarray(make_scancontext(jnp.asarray(pts), jnp.asarray(mask), CFG))
+        assert desc.shape == (20, 60)
+        assert (desc > 0).sum() > 50  # walls/poles populate many bins
+        assert desc.max() < 12.0
+
+    def test_rotation_shifts_columns(self):
+        """Same place, yaw-rotated scan -> sc_distance small, at the right shift."""
+        world = SyntheticWorld.corridor(length=60, seed=1)
+        pose = make_trajectory(5)[2]
+        pts, mask = scan_at(world, pose, 2)
+        yaw = np.deg2rad(60.0)
+        R = np.array(
+            [[np.cos(yaw), -np.sin(yaw), 0], [np.sin(yaw), np.cos(yaw), 0], [0, 0, 1]],
+            np.float32,
+        )
+        pts_rot = pts @ R.T
+        d_a = make_scancontext(jnp.asarray(pts), jnp.asarray(mask), CFG)
+        d_b = make_scancontext(jnp.asarray(pts_rot), jnp.asarray(mask), CFG)
+        dist, shift = sc_distance(d_a, d_b)
+        assert float(dist) < 0.25, float(dist)
+        # 60 deg = 10 sectors (allow +-1 for binning)
+        assert min(abs(int(shift) - 10), abs(int(shift) - 50)) <= 1
+
+    def test_different_places_distant(self):
+        world = SyntheticWorld.corridor(length=120, seed=2)
+        poses = make_trajectory(60, speed=2.0)
+        a, ma = scan_at(world, poses[2], 3)
+        b, mb = scan_at(world, poses[50], 4)
+        d_a = make_scancontext(jnp.asarray(a), jnp.asarray(ma), CFG)
+        d_b = make_scancontext(jnp.asarray(b), jnp.asarray(mb), CFG)
+        dist_far, _ = sc_distance(d_a, d_b)
+        same, _ = sc_distance(d_a, d_a)
+        assert float(same) < 1e-5
+        assert float(dist_far) > float(same) + 0.1
+
+
+class TestRetrieval:
+    def test_loop_detection_on_revisit(self):
+        world = SyntheticWorld.corridor(length=60, seed=3)
+        fwd = make_trajectory(12, speed=2.0)
+        mgr = SCManager(CFG, capacity=64)
+        warmup_dists = []
+        for i in range(12):
+            pts, mask = scan_at(world, fwd[i], 10 + i)
+            mgr.add(pts, mask)
+            idx, dist, yaw = mgr.detect()
+            if idx >= 0:
+                # corridor self-similarity can score below threshold; the
+                # reference filters these with the >=100-keyframe separation
+                # gate in loop closing, not in SC itself
+                warmup_dists.append(dist)
+        # revisit the start: must match frame 0, decisively closer than any alias
+        pts, mask = scan_at(world, fwd[0], 99)
+        mgr.add(pts, mask)
+        idx, dist, yaw = mgr.detect()
+        assert idx == 0, (idx, dist)
+        assert dist < 0.05
+        if warmup_dists:
+            assert dist < min(warmup_dists) * 0.5
