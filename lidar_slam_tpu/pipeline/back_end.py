@@ -1,0 +1,164 @@
+"""Back end: keyframe management + pose-graph optimization.
+
+Re-design of BackEnd (src/mapping/back_end/back_end.cpp:17-330,
+back_end_flow.cpp:15-166): gate keyframes on 2 m of laser-odometry motion,
+persist keyframe clouds, build the SE3 graph (odometry edges, optional GNSS
+XYZ priors, loop-closure edges), optimize when edge-count thresholds trip or
+on demand (`force_optimize`, the /optimize_map service analog,
+back_end_node.cpp:18-23), and re-correct the full keyframe trajectory.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..io.keyframe_store import KeyframeStore
+from ..models.graph_optimizer import (
+    GraphOptimizerConfig,
+    PoseGraphBuilder,
+    optimize_pose_graph,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class BackEndConfig:
+    """Thresholds mirror config/mapping/back_end.yaml:1-21."""
+
+    key_frame_distance: float = 2.0
+    optimize_step_with_key_frame: int = 100
+    optimize_step_with_gnss: int = 100
+    optimize_step_with_loop: int = 10
+    odom_edge_noise: Tuple[float, ...] = (0.5, 0.5, 0.5, 0.001, 0.001, 0.001)
+    close_loop_noise: Tuple[float, ...] = (0.3, 0.3, 0.3, 0.001, 0.001, 0.001)
+    gnss_noise: Tuple[float, ...] = (2.0, 2.0, 2.0)
+    use_gnss: bool = True
+    use_loop_close: bool = True
+    max_nodes: int = 2048
+    max_edges: int = 4096
+    max_priors: int = 2048
+    optimizer: GraphOptimizerConfig = GraphOptimizerConfig(max_iterations=100)
+
+
+@dataclasses.dataclass
+class KeyFrame:
+    """KeyFrame record (sensor_data/key_frame.hpp:13-26)."""
+
+    index: int
+    time: float
+    pose: np.ndarray  # laser-odometry pose at creation
+
+
+class BackEnd:
+    def __init__(self, config: BackEndConfig = BackEndConfig(), store: Optional[KeyframeStore] = None):
+        self.cfg = config
+        self.store = store
+        self.graph = PoseGraphBuilder(config.max_nodes, config.max_edges, config.max_priors)
+        self.key_frames: List[KeyFrame] = []
+        self.optimized_poses: Optional[np.ndarray] = None
+        self._last_key_pose: Optional[np.ndarray] = None
+        self._new_kf_cnt = 0
+        self._new_gnss_cnt = 0
+        self._new_loop_cnt = 0
+        self._has_new_optimized = False
+        self.last_stats: Optional[dict] = None
+
+    # -- reference API ------------------------------------------------------
+    def update(
+        self,
+        odom_pose,
+        time: float = 0.0,
+        gnss_position=None,
+        cloud_points=None,
+        cloud_mask=None,
+        cloud_weights=None,
+    ) -> bool:
+        """Process one synced (cloud, laser odom [, gnss]) tuple. Returns
+        True iff a new keyframe was created (BackEnd::Update,
+        back_end.cpp:107-124)."""
+        odom_pose = np.asarray(odom_pose, np.float32)
+        if not self._maybe_new_keyframe(odom_pose, time):
+            return False
+
+        i = len(self.key_frames) - 1
+        if self.store is not None and cloud_points is not None:
+            self.store.save(i, cloud_points, cloud_mask, odom_pose, cloud_weights, time)
+
+        # AddNodeAndEdge (back_end.cpp:212-245)
+        fixed = (i == 0) and not (self.cfg.use_gnss and gnss_position is not None)
+        self.graph.add_se3_node(odom_pose, fixed=fixed)
+        if i > 0:
+            prev = self.key_frames[-2].pose
+            rel = np.linalg.inv(prev) @ odom_pose
+            self.graph.add_se3_edge(i - 1, i, rel, noise=self.cfg.odom_edge_noise)
+        if self.cfg.use_gnss and gnss_position is not None:
+            self.graph.add_se3_prior_xyz_edge(
+                i, np.asarray(gnss_position, np.float32), noise=self.cfg.gnss_noise
+            )
+            self._new_gnss_cnt += 1
+        self._new_kf_cnt += 1
+        self._maybe_optimize()
+        return True
+
+    def insert_loop_pose(self, index0: int, index1: int, relative_pose) -> None:
+        """Loop edge: index0 = historical keyframe, index1 = current
+        (InsertLoopPose, back_end.cpp:127-141)."""
+        if not self.cfg.use_loop_close:
+            return
+        self.graph.add_se3_edge(
+            index0, index1, np.asarray(relative_pose, np.float32), noise=self.cfg.close_loop_noise
+        )
+        self._new_loop_cnt += 1
+        self._maybe_optimize()
+
+    def force_optimize(self) -> dict:
+        return self._optimize()
+
+    def has_new_optimized(self) -> bool:
+        return self._has_new_optimized
+
+    def get_optimized_poses(self) -> Optional[np.ndarray]:
+        self._has_new_optimized = False
+        return self.optimized_poses
+
+    def latest_keyframe(self) -> Optional[KeyFrame]:
+        return self.key_frames[-1] if self.key_frames else None
+
+    # -- internals ----------------------------------------------------------
+    def _maybe_new_keyframe(self, pose, time) -> bool:
+        if self._last_key_pose is None:
+            new = True
+        else:
+            l1 = np.abs(pose[:3, 3] - self._last_key_pose[:3, 3]).sum()
+            new = l1 > self.cfg.key_frame_distance
+        if new:
+            self.key_frames.append(KeyFrame(index=len(self.key_frames), time=time, pose=pose.copy()))
+            self._last_key_pose = pose.copy()
+        return new
+
+    def _maybe_optimize(self) -> None:
+        c = self.cfg
+        if (
+            self._new_kf_cnt >= c.optimize_step_with_key_frame
+            or self._new_gnss_cnt >= c.optimize_step_with_gnss
+            or self._new_loop_cnt >= c.optimize_step_with_loop
+        ):
+            self._optimize()
+
+    def _optimize(self) -> dict:
+        self._new_kf_cnt = self._new_gnss_cnt = self._new_loop_cnt = 0
+        graph, stats = self.graph.optimize(self.cfg.optimizer)
+        n = self.graph.n_nodes
+        self.optimized_poses = np.asarray(graph.poses)[:n].copy()
+        self._has_new_optimized = True
+        self.last_stats = {k: float(v) for k, v in stats.items()}
+        if self.store is not None:
+            from ..io.trajectory import write_kitti_trajectory
+            import os
+
+            write_kitti_trajectory(
+                os.path.join(self.store.traj_dir, "optimized.txt"), self.optimized_poses
+            )
+        return self.last_stats

@@ -1,0 +1,313 @@
+"""Front end: scan-to-local-map odometry with static-point weighting.
+
+Re-design of FrontEnd (src/mapping/front_end/front_end.cpp:22-531,
+front_end_flow.cpp:10-71) as a host-side orchestrator over jitted,
+fixed-shape device steps:
+
+  preprocess (finite mask + voxel downsample)
+   -> NDT scan-to-local-map with motion-model predicted pose
+      (front_end.cpp:225-241)
+   -> keyframe every `key_frame_distance` metres of L1 motion (243-245)
+   -> static-point weighting of detector bboxes on new keyframes (250-327)
+   -> sliding local map of the last `local_frame_num` keyframes rebuilt and
+      re-filtered as the NDT target (348-424)
+
+Differences from the reference, by design:
+- per-point weights are a first-class [N] array, not the intensity channel;
+- keyframe clouds are stored voxel-downsampled (the reference stores raw
+  ~120k-point clouds and filters the 20-frame concatenation; same net map,
+  bounded device memory here);
+- the weight formula implements the *intended* (5/12)^d, not the reference's
+  integer-division `std::pow(5 / 12, d)` == 0^d (front_end.cpp:310 — a C++
+  bug that zeroes every matched box);
+- all per-frame work is jitted with stable shapes; the only host decisions
+  are the keyframe gate and ring-buffer bookkeeping.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geom.se3 import pose_inverse, transform_points
+from ..models.registration import (
+    NDTConfig,
+    build_ndt_map,
+    ndt_align,
+)
+from ..ops.pointcloud import PointCloud, finite_mask, rotated_box_mask, voxel_downsample
+
+
+@dataclasses.dataclass(frozen=True)
+class FrontEndConfig:
+    """Operating point mirrors config/mapping/front_end.yaml:1-66."""
+
+    ndt: NDTConfig = NDTConfig()
+    # Coarse-to-fine alignment: one pass on a 2x-resolution map widens the
+    # convergence basin (fast turns / bad predictions), then the fine pass
+    # restores accuracy. The reference is single-resolution and visibly
+    # under-rotates at high yaw rates; this is a TPU-cheap robustness win.
+    coarse_to_fine: bool = True
+    frame_leaf: float = 0.5  # frame voxel filter
+    local_map_leaf: float = 0.3  # local-map voxel filter
+    key_frame_distance: float = 2.0  # L1 gate (front_end.cpp:243-245)
+    local_frame_num: int = 20
+    local_map_filter_min_frames: int = 10  # filter only when >= (cpp:404-420)
+    frame_capacity: int = 32768  # points per downsampled frame
+    keyframe_capacity: int = 16384  # stored points per keyframe
+    # static weighting (front_end.cpp:247-334)
+    bbox_score_thresh: float = 0.5
+    bbox_match_radius: float = 3.3
+    bbox_weight_base: float = 5.0 / 12.0
+    max_bboxes: int = 40  # per frame (cpp:119 "只要40个bbox")
+    max_map_bboxes: int = 200  # bbox memory across the local-map window
+
+
+@partial(jax.jit, static_argnames=("capacity", "leaf"))
+def _preprocess(points, mask, capacity: int, leaf: float) -> PointCloud:
+    m = mask & finite_mask(points)
+    cloud = PointCloud(points=jnp.where(m[:, None], points, 0.0), mask=m)
+    return voxel_downsample(cloud, leaf, out_capacity=capacity)
+
+
+@partial(jax.jit, static_argnames=("base", "radius"))
+def _bbox_weights(
+    points,  # [N, 3] keyframe cloud (sensor frame)
+    boxes,  # [B, 8] current bboxes (sensor frame): cx..heading, score
+    boxes_valid,  # [B] bool
+    pose,  # [4, 4] sensor->world
+    map_centers,  # [M, 3] world-frame accumulated bbox centers
+    map_descs,  # [M, 7] their descriptors
+    map_valid,  # [M] bool
+    base: float,
+    radius: float,
+):
+    """Per-point static weights for one keyframe.
+
+    Matches each current bbox to the most descriptor-similar local-map bbox
+    within `radius` metres (7-D cosine similarity, front_end.cpp:261-301),
+    takes d = squared centre distance of that match, and writes
+    w = base^d if 0 < d < radius else 0 into every point inside the box
+    (cpp:306-327). Non-bbox points keep w = 1.
+    """
+    centers_world = boxes[:, :3] @ pose[:3, :3].T + pose[:3, 3]  # [B, 3]
+    desc_cur = jnp.concatenate([centers_world, boxes[:, 3:7]], axis=-1)  # [B, 7]
+
+    diff = centers_world[:, None, :] - map_centers[None, :, :]  # [B, M, 3]
+    d2 = jnp.sum(diff * diff, axis=-1)
+    in_radius = (d2 <= radius * radius) & map_valid[None, :]
+
+    num = jnp.einsum("bk,mk->bm", desc_cur, map_descs)
+    den = jnp.linalg.norm(desc_cur, axis=-1)[:, None] * jnp.linalg.norm(map_descs, axis=-1)[None, :]
+    cos = num / jnp.maximum(den, 1e-9)
+    cos = jnp.where(in_radius, cos, -jnp.inf)
+    best = jnp.argmax(cos, axis=-1)  # [B]
+    has_match = jnp.any(in_radius, axis=-1)
+    d_best = jnp.take_along_axis(d2, best[:, None], axis=-1)[:, 0]
+
+    w_box = jnp.where(
+        has_match & (d_best > 0.0) & (d_best < radius),
+        jnp.power(jnp.float32(base), d_best),
+        0.0,
+    )  # [B]
+    w_box = jnp.where(boxes_valid, w_box, 1.0)
+
+    membership = rotated_box_mask(points, boxes[:, :7])  # [B, N]
+    membership = membership & boxes_valid[:, None]
+    # a point in any box takes that box's weight (min over covering boxes)
+    w_per_box = jnp.where(membership, w_box[:, None], jnp.inf)
+    w = jnp.min(w_per_box, axis=0)
+    return jnp.where(jnp.isfinite(w), w, 1.0), desc_cur
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _build_local_map(
+    kf_points,  # [K, P, 3]
+    kf_masks,  # [K, P]
+    kf_weights,  # [K, P]
+    kf_poses,  # [K, 4, 4]
+    kf_valid,  # [K] bool
+    n_keyframes,  # scalar int
+    center,  # [3] newest keyframe position — the NDT grid is centred here
+    cfg: FrontEndConfig,
+):
+    """Transform + concatenate keyframes, optionally voxel-filter, build the
+    NDT target map (UpdateWithNewFrame, front_end.cpp:348-424).
+
+    The dense NDT grid covers grid_dims * resolution metres; centring it on
+    the newest keyframe clips only far-BEHIND structure when the local map
+    outgrows the grid (clipping ahead of the sensor loses tracking)."""
+    world = jnp.einsum("kij,kpj->kpi", kf_poses[:, :3, :3], kf_points) + kf_poses[:, None, :3, 3]
+    k, p, _ = world.shape
+    pts = world.reshape(k * p, 3)
+    msk = (kf_masks & kf_valid[:, None]).reshape(k * p)
+    wts = kf_weights.reshape(k * p)
+    cloud = PointCloud(points=pts, mask=msk, weights=wts)
+
+    filtered = voxel_downsample(cloud, cfg.local_map_leaf, out_capacity=k * p)
+    use_filter = n_keyframes >= cfg.local_map_filter_min_frames
+    cloud = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(
+            jnp.reshape(use_filter, (1,) * a.ndim), a, b
+        ),
+        filtered,
+        cloud,
+    )
+    res = cfg.ndt.resolution
+    dims = jnp.asarray(cfg.ndt.grid_dims, jnp.float32)
+    origin = jnp.floor((center - 0.5 * dims * res) / res) * res
+    ndt_map = build_ndt_map(cloud, cfg.ndt, origin=origin)
+    coarse_map = None
+    if cfg.coarse_to_fine:
+        ccfg = dataclasses.replace(
+            cfg.ndt,
+            resolution=res * 2.0,
+            grid_dims=(cfg.ndt.grid_dims[0] // 2, cfg.ndt.grid_dims[1] // 2, cfg.ndt.grid_dims[2] // 2),
+        )
+        coarse_map = build_ndt_map(cloud, ccfg, origin=origin)
+    return cloud, ndt_map, coarse_map
+
+
+class FrontEnd:
+    """Stateful host wrapper (the reference's FrontEnd::Update API)."""
+
+    def __init__(self, config: FrontEndConfig = FrontEndConfig()):
+        self.cfg = config
+        k = config.local_frame_num
+        p = config.keyframe_capacity
+        self.kf_points = jnp.zeros((k, p, 3), jnp.float32)
+        self.kf_masks = jnp.zeros((k, p), bool)
+        self.kf_weights = jnp.ones((k, p), jnp.float32)
+        self.kf_poses = jnp.tile(jnp.eye(4, dtype=jnp.float32), (k, 1, 1))
+        self.kf_valid = np.zeros(k, bool)
+        self.kf_cursor = 0
+        self.n_keyframes = 0
+
+        m = config.max_map_bboxes
+        self.map_bbox_centers = jnp.zeros((m, 3), jnp.float32)
+        self.map_bbox_descs = jnp.zeros((m, 7), jnp.float32)
+        self.map_bbox_valid = np.zeros(m, bool)
+        self.map_bbox_cursor = 0
+
+        self.init_pose = np.eye(4, dtype=np.float32)
+        self.last_pose: Optional[np.ndarray] = None
+        self.predict_pose: Optional[np.ndarray] = None
+        self.last_key_frame_pose: Optional[np.ndarray] = None
+        self.ndt_map = None
+        self.coarse_ndt_map = None
+        self.local_map_cloud = None
+
+    def _coarse_cfg(self) -> NDTConfig:
+        c = self.cfg.ndt
+        return dataclasses.replace(
+            c,
+            resolution=c.resolution * 2.0,
+            grid_dims=(c.grid_dims[0] // 2, c.grid_dims[1] // 2, c.grid_dims[2] // 2),
+            max_iter=max(5, c.max_iter // 3),
+        )
+
+    # -- reference API ------------------------------------------------------
+    def set_init_pose(self, pose) -> None:
+        self.init_pose = np.asarray(pose, np.float32)
+
+    def update(self, points, mask=None, bboxes=None):
+        """Process one scan. Returns (pose [4,4] np, is_keyframe bool).
+
+        `points` [N, 3]; `mask` [N] optional; `bboxes` [B, 8] optional
+        detector boxes in the sensor frame (x,y,z,dx,dy,dz,heading,score) —
+        replaces ImportBBOXFromFile's hard-coded txt path (cpp:427-530).
+        """
+        cfg = self.cfg
+        points = jnp.asarray(points, jnp.float32)
+        if mask is None:
+            mask = jnp.ones(points.shape[0], bool)
+        frame = _preprocess(points, mask, cfg.frame_capacity, cfg.frame_leaf)
+
+        if self.n_keyframes == 0:
+            pose = self.init_pose
+            self.last_pose = pose.copy()
+            self.predict_pose = pose.copy()
+            self.last_key_frame_pose = pose.copy()
+            self._add_keyframe(frame, pose, bboxes, first=True)
+            return pose, True
+
+        guess = jnp.asarray(self.predict_pose)
+        if cfg.coarse_to_fine and self.coarse_ndt_map is not None:
+            coarse = ndt_align(self.coarse_ndt_map, frame, guess, self._coarse_cfg())
+            guess = coarse.pose
+        result = ndt_align(self.ndt_map, frame, guess, cfg.ndt)
+        pose = np.asarray(result.pose)
+        step = np.linalg.inv(self.last_pose) @ pose
+        self.predict_pose = (pose @ step).astype(np.float32)
+        self.last_pose = pose
+
+        l1 = np.abs(pose[:3, 3] - self.last_key_frame_pose[:3, 3]).sum()
+        is_kf = l1 > cfg.key_frame_distance
+        if is_kf:
+            self._add_keyframe(frame, pose, bboxes, first=False)
+            self.last_key_frame_pose = pose.copy()
+        return pose, bool(is_kf)
+
+    # -- internals ----------------------------------------------------------
+    def _add_keyframe(self, frame: PointCloud, pose, bboxes, first: bool):
+        cfg = self.cfg
+        kf = voxel_downsample(frame, cfg.frame_leaf, out_capacity=cfg.keyframe_capacity)
+
+        if first or bboxes is None or len(bboxes) == 0:
+            weights = jnp.ones(cfg.keyframe_capacity, jnp.float32)
+            desc_cur = None
+            boxes_valid = None
+        else:
+            b = np.zeros((cfg.max_bboxes, 8), np.float32)
+            nb = min(len(bboxes), cfg.max_bboxes)
+            b[:nb] = np.asarray(bboxes)[:nb]
+            boxes_valid = jnp.asarray((b[:, 7] > cfg.bbox_score_thresh) & (np.arange(cfg.max_bboxes) < nb))
+            weights, desc_cur = _bbox_weights(
+                kf.points,
+                jnp.asarray(b),
+                boxes_valid,
+                jnp.asarray(pose, jnp.float32),
+                self.map_bbox_centers,
+                self.map_bbox_descs,
+                jnp.asarray(self.map_bbox_valid),
+                base=cfg.bbox_weight_base,
+                radius=cfg.bbox_match_radius,
+            )
+            weights = jnp.where(kf.mask, weights, 1.0)
+
+        slot = self.kf_cursor % cfg.local_frame_num
+        self.kf_points = self.kf_points.at[slot].set(kf.points)
+        self.kf_masks = self.kf_masks.at[slot].set(kf.mask)
+        self.kf_weights = self.kf_weights.at[slot].set(weights)
+        self.kf_poses = self.kf_poses.at[slot].set(jnp.asarray(pose, jnp.float32))
+        self.kf_valid[slot] = True
+        self.kf_cursor += 1
+        self.n_keyframes += 1
+
+        # bbox memory for the next keyframe's matching
+        if desc_cur is not None:
+            descs = np.asarray(desc_cur)
+            valid = np.asarray(boxes_valid)
+            for i in range(len(descs)):
+                if valid[i]:
+                    ms = self.map_bbox_cursor % cfg.max_map_bboxes
+                    self.map_bbox_centers = self.map_bbox_centers.at[ms].set(jnp.asarray(descs[i, :3]))
+                    self.map_bbox_descs = self.map_bbox_descs.at[ms].set(jnp.asarray(descs[i]))
+                    self.map_bbox_valid[ms] = True
+                    self.map_bbox_cursor += 1
+
+        self.local_map_cloud, self.ndt_map, self.coarse_ndt_map = _build_local_map(
+            self.kf_points,
+            self.kf_masks,
+            self.kf_weights,
+            self.kf_poses,
+            jnp.asarray(self.kf_valid),
+            jnp.int32(min(self.n_keyframes, cfg.local_frame_num)),
+            jnp.asarray(np.asarray(pose, np.float32)[:3, 3]),
+            self.cfg,
+        )
