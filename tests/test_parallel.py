@@ -1,0 +1,76 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lidar_slam_tpu.ops import PointCloud
+from lidar_slam_tpu.geom import se3_exp, se3_log, pose_inverse, transform_points
+from lidar_slam_tpu.models.registration import NDTConfig, build_ndt_map, ndt_align, ndt_derivatives
+from lidar_slam_tpu.models.graph_optimizer import GraphOptimizerConfig, optimize_pose_graph
+from lidar_slam_tpu.parallel import (
+    make_mesh,
+    sharded_ndt_align,
+    sharded_ndt_derivatives,
+    optimize_pose_graph_sharded,
+)
+from tests.test_graph_optimizer import build_noisy_loop
+from tests.test_ndt import make_scene
+
+CFG = NDTConfig(grid_dims=(32, 32, 16), point_chunk=512)
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    return make_mesh(8)
+
+
+class TestShardedNDT:
+    def _setup(self):
+        pts = make_scene(30, 60, seed=9)
+        target = PointCloud.from_points(pts)
+        m = build_ndt_map(target, CFG, origin=jnp.asarray([-16.0, -16.0, -8.0]))
+        rng = np.random.default_rng(10)
+        sel = rng.choice(len(pts), 1024, replace=False)
+        src = PointCloud.from_points(pts[sel], capacity=1024)
+        return m, src
+
+    def test_derivatives_match_single_device(self, mesh8):
+        m, src = self._setup()
+        pose = jnp.asarray([0.1, -0.05, 0.02, 0.01, 0.0, -0.02])
+        s1, g1, h1 = ndt_derivatives(m, src.points, src.mask, pose, CFG, True)
+        s8, g8, h8 = sharded_ndt_derivatives(m, src, pose, CFG, mesh8)
+        np.testing.assert_allclose(float(s8), float(s1), rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(g8), np.asarray(g1), rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(h8), np.asarray(h1), rtol=1e-3, atol=1e-3)
+
+    def test_align_matches_single_device(self, mesh8):
+        m, src = self._setup()
+        T_true = se3_exp(jnp.asarray([0.2, -0.1, 0.05, 0.01, -0.01, 0.02]))
+        moved = PointCloud(
+            points=transform_points(pose_inverse(T_true), src.points),
+            mask=src.mask,
+        )
+        r1 = ndt_align(m, moved, jnp.eye(4), CFG)
+        r8 = sharded_ndt_align(m, moved, jnp.eye(4), CFG, mesh8)
+        # f32 psum reduction order differs from the single-device sum; the
+        # difference compounds over Newton iterations — 1e-2 is the realistic
+        # cross-layout reproducibility bound, the GT check below is the oracle
+        np.testing.assert_allclose(np.asarray(r8.pose), np.asarray(r1.pose), atol=1e-2)
+        err = np.asarray(se3_log(pose_inverse(T_true) @ r8.pose))
+        assert np.abs(err[:3]).max() < 0.1
+
+
+class TestShardedGraph:
+    def test_matches_single_device_pcg(self, mesh8):
+        builder, gt, _ = build_noisy_loop(
+            n=24, drift=0.02, seed=11, max_nodes=64, max_edges=64, max_priors=64
+        )
+        cfg = GraphOptimizerConfig(max_iterations=30, solver="pcg")
+        g1, s1 = optimize_pose_graph(builder.to_graph(), cfg)
+        g8, s8 = optimize_pose_graph_sharded(builder.to_graph(), cfg, make_mesh(8))
+        n = builder.n_nodes
+        np.testing.assert_allclose(
+            np.asarray(g8.poses)[:n, :3, 3], np.asarray(g1.poses)[:n, :3, 3], atol=0.05
+        )
+        assert float(s8["chi2_after"]) < float(s8["chi2_before"]) * 0.2
