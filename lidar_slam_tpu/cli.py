@@ -1,0 +1,188 @@
+"""Command-line entry points — the L6 launch layer.
+
+Replaces the reference's roslaunch files + rosservice calls
+(launch/mapping.launch, matching.launch, /save_map, /optimize_map) with
+plain subcommands over the same pipeline:
+
+  python -m lidar_slam_tpu mapping --kitti-raw <drive_dir> --out slam_data
+  python -m lidar_slam_tpu mapping --synthetic 60 --out slam_data
+  python -m lidar_slam_tpu matching --map slam_data --kitti-raw <drive_dir>
+  python -m lidar_slam_tpu bench
+
+Where the reference triggers map save / optimization via ROS services, these
+run automatically at the end of a mapping session (and `BackEnd.force_optimize`
+/ `Viewer.save_map` remain callable from the API).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def _run_mapping(args) -> int:
+    import jax.numpy as jnp
+
+    from .config import load_config
+    from .io.keyframe_store import KeyframeStore
+    from .io.trajectory import write_kitti_trajectory, ate_rmse
+    from .pipeline import BackEnd, FrontEnd, LoopClosing, Viewer
+
+    cfg = load_config(args.config)
+    store = KeyframeStore(args.out, resume=False)
+    fe = FrontEnd(cfg.front_end)
+    be = BackEnd(cfg.back_end, store=store)
+    lc = LoopClosing(cfg.loop_closing, store=store)
+    viewer = Viewer(cfg.viewer, store)
+
+    frames = _frame_source(args)
+    est = []
+    gt = []
+    t_start = time.time()
+    for i, frame in enumerate(frames):
+        pose, _ = fe.update(frame["points"], bboxes=frame.get("bboxes"))
+        est.append(pose)
+        if frame.get("gt_pose") is not None:
+            gt.append(frame["gt_pose"])
+        gnss = frame.get("gnss_position")
+        pts = frame["points"]
+        new_kf = be.update(
+            pose,
+            time=frame.get("time", i * 0.1),
+            gnss_position=gnss,
+            cloud_points=pts[: len(pts)],
+            cloud_mask=np.ones(len(pts), bool),
+        )
+        if new_kf:
+            kf = be.latest_keyframe()
+            viewer.update_with_new_key_frame(kf.index, kf.pose)
+            loop = lc.update(kf.index, kf.pose, gnss_position=gnss)
+            if loop is not None:
+                print(f"loop closure: {loop.index0} <- {loop.index1}")
+                be.insert_loop_pose(loop.index0, loop.index1, loop.relative_pose)
+            if be.has_new_optimized():
+                viewer.update_with_optimized_poses(be.get_optimized_poses())
+        if i % 20 == 0:
+            print(f"frame {i}: pose {np.asarray(pose)[:3, 3]}")
+
+    stats = be.force_optimize()
+    if be.get_optimized_poses() is not None:
+        viewer.update_with_optimized_poses(be.optimized_poses)
+    out = viewer.save_map()
+    write_kitti_trajectory(f"{store.traj_dir}/laser_odom.txt", np.stack(est))
+    dt = time.time() - t_start
+    print(f"mapping done: {len(est)} frames in {dt:.1f}s ({len(est)/dt:.2f} fps), "
+          f"{len(be.key_frames)} keyframes, {len(lc.detected)} loops, map {out}")
+    if gt:
+        write_kitti_trajectory(f"{store.traj_dir}/ground_truth.txt", np.stack(gt))
+        print(f"ATE vs ground truth: {ate_rmse(np.stack(est), np.stack(gt)):.3f} m")
+    return 0
+
+
+def _run_matching(args) -> int:
+    import jax.numpy as jnp
+
+    from .config import load_config
+    from .pipeline import Matching
+
+    cfg = load_config(args.config)
+    with np.load(f"{args.map}/map/filtered_map.npz") as z:
+        gmap = z["points"]
+    matcher = Matching(cfg.matching, gmap)
+    errs = []
+    for i, frame in enumerate(_frame_source(args)):
+        if not matcher.has_inited():
+            matcher.update(frame["points"])
+            init = frame.get("gnss_pose")
+            if init is None and frame.get("gt_pose") is not None:
+                init = frame["gt_pose"]
+            if init is not None:
+                matcher.set_gnss_pose(init)
+            continue
+        pose = matcher.update(frame["points"])
+        if frame.get("gt_pose") is not None and pose is not None:
+            errs.append(np.linalg.norm(pose[:3, 3] - frame["gt_pose"][:3, 3]))
+        if i % 20 == 0 and pose is not None:
+            print(f"frame {i}: pose {pose[:3, 3]}")
+    if errs:
+        print(f"localization mean error: {np.mean(errs):.3f} m over {len(errs)} frames")
+    return 0
+
+
+def _frame_source(args):
+    """Yield frames from KITTI raw / odometry dirs or the synthetic world."""
+    if getattr(args, "kitti_raw", None):
+        from .io.kitti import KittiRawReader
+
+        for f in KittiRawReader(args.kitti_raw):
+            yield {
+                "points": f["points"],
+                "time": f["time"],
+                "gnss_position": f["gnss_pose"][:3, 3],
+                "gnss_pose": f["gnss_pose"],
+            }
+    elif getattr(args, "kitti_odometry", None):
+        from .io.kitti import KittiOdometryReader
+
+        root, seq = args.kitti_odometry.rsplit(":", 1)
+        for f in KittiOdometryReader(root, seq):
+            yield {"points": f["points"], "time": f["time"], "gt_pose": f["gt_pose"]}
+    else:
+        from .io.synthetic import SyntheticWorld, make_hairpin_trajectory, simulate_scan
+
+        n = int(args.synthetic)
+        world = SyntheticWorld.corridor(length=max(40, n), seed=0)
+        gt = make_hairpin_trajectory(n_out=n // 3, n_turn=n // 3, n_back=n // 3, speed=1.0)
+        for i in range(len(gt)):
+            pts, mask, bboxes = simulate_scan(world, gt[i], t=i * 0.1, n_points=16384, seed=i)
+            yield {
+                "points": pts[mask],
+                "time": i * 0.1,
+                "gt_pose": gt[i],
+                "gnss_position": gt[i][:3, 3] + np.random.default_rng(i).normal(0, 0.3, 3),
+                "bboxes": bboxes,
+            }
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="lidar_slam_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def add_source(sp):
+        sp.add_argument("--kitti-raw", help="KITTI raw *_sync drive directory")
+        sp.add_argument("--kitti-odometry", help="KITTI odometry '<root>:<seq>'")
+        sp.add_argument("--synthetic", default=None, help="synthetic run with N frames")
+        sp.add_argument("--config", default=None, help="YAML config path")
+
+    mp = sub.add_parser("mapping", help="build a map (front end + back end + loops)")
+    add_source(mp)
+    mp.add_argument("--out", default="slam_data")
+
+    lp = sub.add_parser("matching", help="localize against a prebuilt map")
+    add_source(lp)
+    lp.add_argument("--map", default="slam_data")
+
+    bp = sub.add_parser("bench", help="run the headline benchmark")
+
+    args = p.parse_args(argv)
+    if args.cmd == "mapping":
+        if not (args.kitti_raw or args.kitti_odometry or args.synthetic):
+            p.error("mapping needs --kitti-raw, --kitti-odometry or --synthetic N")
+        return _run_mapping(args)
+    if args.cmd == "matching":
+        if not (args.kitti_raw or args.kitti_odometry or args.synthetic):
+            p.error("matching needs a frame source")
+        return _run_matching(args)
+    if args.cmd == "bench":
+        import runpy
+
+        runpy.run_path("bench.py", run_name="__main__")
+        return 0
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
