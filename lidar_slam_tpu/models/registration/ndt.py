@@ -77,6 +77,11 @@ class NDTConfig:
     # stats from this small table — ~10x less HBM gather traffic than
     # gathering stats rows from the dense grid directly)
     max_compact_voxels: int = 65536
+    # Neighbourhood mode: 'radius27' = 3x3x3 stencil with the reference's
+    # |centroid - x'| <= resolution gate (radiusSearch semantics);
+    # 'direct7' = centre + 6 face neighbours, ungated (the pclomp-style fast
+    # mode: ~4x fewer gathers per point).
+    stencil: str = "radius27"
     weight_derivatives: bool = True
     # More-Thuente step-length iterations. 0 (default) reproduces the
     # reference's effective behaviour (its loop is dead code — see module
@@ -315,6 +320,15 @@ def _stencil27():
     return np.stack([ox.ravel(), oy.ravel(), oz.ravel()], axis=-1).astype(np.int32)
 
 
+def _stencil7():
+    import numpy as np
+
+    return np.asarray(
+        [[0, 0, 0], [1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0], [0, 0, 1], [0, 0, -1]],
+        np.int32,
+    )
+
+
 def _pose_to_matrix(pose):
     R = euler_xyz_to_matrix(pose[3], pose[4], pose[5])
     return make_pose(R, pose[:3])
@@ -353,7 +367,7 @@ def ndt_derivatives(
     R = euler_xyz_to_matrix(pose[3], pose[4], pose[5])
     t = pose[:3]
     jang, hang = _angle_jacobian_tensors(pose)
-    stencil = _stencil27()
+    stencil = _stencil27() if config.stencil == "radius27" else _stencil7()
 
     if weights is None:
         weights = jnp.ones(points.shape[:-1], jnp.float32)
@@ -386,8 +400,11 @@ def ndt_derivatives(
 
         e = xp[:, None, :] - mu
         # radiusSearch gate: centroid within `resolution` of the transformed
-        # point (NormalDistributionsTransform.cpp:424).
-        gate = vvalid & (jnp.sum(e * e, axis=-1) <= res * res) & m[:, None]
+        # point (NormalDistributionsTransform.cpp:424). direct7 is ungated
+        # like pclomp's DIRECT neighbourhoods.
+        gate = vvalid & m[:, None]
+        if config.stencil == "radius27":
+            gate = gate & (jnp.sum(e * e, axis=-1) <= res * res)
 
         # q = C^-1 e from the symmetric-packed components (VPU elementwise;
         # avoids materializing [C, 27, 3, 3] for the score/gradient path)

@@ -48,6 +48,10 @@ class FrontEndConfig:
     """Operating point mirrors config/mapping/front_end.yaml:1-66."""
 
     ndt: NDTConfig = NDTConfig()
+    # raw input scans are padded/truncated to this size before any jitted
+    # step — WITHOUT this, every differently-sized scan recompiles the whole
+    # pipeline (observed: minutes per frame through the remote compiler)
+    raw_capacity: int = 131072
     # Coarse-to-fine alignment: one pass on a 2x-resolution map widens the
     # convergence basin (fast turns / bad predictions), then the fine pass
     # restores accuracy. The reference is single-resolution and visibly
@@ -223,10 +227,20 @@ class FrontEnd:
         replaces ImportBBOXFromFile's hard-coded txt path (cpp:427-530).
         """
         cfg = self.cfg
-        points = jnp.asarray(points, jnp.float32)
+        points = np.asarray(points, np.float32)
         if mask is None:
-            mask = jnp.ones(points.shape[0], bool)
-        frame = _preprocess(points, mask, cfg.frame_capacity, cfg.frame_leaf)
+            mask = np.ones(len(points), bool)
+        else:
+            mask = np.asarray(mask, bool)
+        # pad/truncate to the static raw capacity (shape-stable jit)
+        n = min(len(points), cfg.raw_capacity)
+        pts_fixed = np.zeros((cfg.raw_capacity, 3), np.float32)
+        msk_fixed = np.zeros(cfg.raw_capacity, bool)
+        pts_fixed[:n] = points[:n]
+        msk_fixed[:n] = mask[:n]
+        frame = _preprocess(
+            jnp.asarray(pts_fixed), jnp.asarray(msk_fixed), cfg.frame_capacity, cfg.frame_leaf
+        )
 
         if self.n_keyframes == 0:
             pose = self.init_pose

@@ -37,6 +37,7 @@ class MatchingConfig:
     refresh_margin: float = 50.0  # re-crop when this close to the edge
     local_map_capacity: int = 1 << 18
     frame_capacity: int = 32768
+    raw_capacity: int = 131072  # fixed input padding (shape-stable jit)
     # yaw-init height map (matching.cpp:344-394)
     cell_size: float = 0.8
     height_map_dim: int = 256  # cells per axis over the local map
@@ -181,12 +182,20 @@ class Matching:
         """Matching::Update (matching.cpp:185-265). Returns pose [4,4] or
         None while uninitialized."""
         cfg = self.cfg
-        points = jnp.asarray(points, jnp.float32)
+        points = np.asarray(points, np.float32)
         if mask is None:
-            mask = jnp.ones(points.shape[0], bool)
-        m = mask & finite_mask(points)
+            mask = np.ones(len(points), bool)
+        else:
+            mask = np.asarray(mask, bool)
+        n = min(len(points), cfg.raw_capacity)
+        pts_fixed = np.zeros((cfg.raw_capacity, 3), np.float32)
+        msk_fixed = np.zeros(cfg.raw_capacity, bool)
+        pts_fixed[:n] = points[:n]
+        msk_fixed[:n] = mask[:n]
+        pj = jnp.asarray(pts_fixed)
+        mj = jnp.asarray(msk_fixed) & finite_mask(pj)
         frame = voxel_downsample(
-            PointCloud(points=jnp.where(m[:, None], points, 0.0), mask=m),
+            PointCloud(points=jnp.where(mj[:, None], pj, 0.0), mask=mj),
             cfg.frame_leaf,
             out_capacity=cfg.frame_capacity,
         )
