@@ -33,7 +33,13 @@ def main():
 
     print(f"devices: {jax.devices()}", file=sys.stderr)
 
-    cfg = NDTConfig(resolution=1.0, grid_dims=(256, 256, 64), point_chunk=8192, max_iter=30)
+    import os
+
+    stencil = os.environ.get("NDT_STENCIL", "radius27")
+    cfg = NDTConfig(
+        resolution=1.0, grid_dims=(256, 256, 64), point_chunk=8192, max_iter=30,
+        stencil=stencil,
+    )
     n_frames = 20
     raw_capacity = 131072
     frame_capacity = 32768

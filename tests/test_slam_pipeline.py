@@ -40,7 +40,7 @@ def slam_run(tmp_path_factory):
     root = str(tmp_path_factory.mktemp("slam_data"))
     world = SyntheticWorld.corridor(length=90, seed=7, curve=0.0)
     n_frames = 60
-    gt = make_hairpin_trajectory(n_out=16, n_turn=32, n_back=12, speed=1.0, turn_radius=4.0)
+    gt = make_hairpin_trajectory(n_out=16, n_turn=24, n_back=14, speed=1.0, turn_radius=1.0)
 
     store = KeyframeStore(root)
     fe = FrontEnd(FE_CFG)
@@ -57,9 +57,10 @@ def slam_run(tmp_path_factory):
     )
     lc = LoopClosing(
         LoopClosingConfig(
-            loop_method="sc",
+            loop_method="gps",
             loop_step=1,
             diff_num=8,
+            detect_area=6.0,
             extend_frame_num=1,
             fitness_score_limit=0.35,
             ndt=NDTConfig(resolution=1.0, grid_dims=(96, 96, 24), point_chunk=2048, max_iter=25),
