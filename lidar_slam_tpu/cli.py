@@ -131,11 +131,23 @@ def _frame_source(args):
         for f in KittiOdometryReader(root, seq):
             yield {"points": f["points"], "time": f["time"], "gt_pose": f["gt_pose"]}
     else:
-        from .io.synthetic import SyntheticWorld, make_hairpin_trajectory, simulate_scan
+        from .io.synthetic import (
+            SyntheticWorld,
+            make_hairpin_trajectory,
+            make_trajectory,
+            simulate_scan,
+        )
 
         n = int(args.synthetic)
         world = SyntheticWorld.corridor(length=max(40, n), seed=0)
-        gt = make_hairpin_trajectory(n_out=n // 3, n_turn=n // 3, n_back=n // 3, speed=1.0)
+        if n >= 72:
+            # long runs: out-and-back with a realistically-rated U-turn
+            # (<= ~5 deg/frame, like a car at 10 Hz)
+            n_turn = max(36, n // 2)
+            rest = max(2, (n - n_turn) // 2)
+            gt = make_hairpin_trajectory(n_out=rest, n_turn=n_turn, n_back=rest, speed=1.0)
+        else:
+            gt = make_trajectory(n, speed=1.0)
         for i in range(len(gt)):
             pts, mask, bboxes = simulate_scan(world, gt[i], t=i * 0.1, n_points=16384, seed=i)
             yield {
