@@ -36,9 +36,12 @@ def main():
     import os
 
     stencil = os.environ.get("NDT_STENCIL", "radius27")
+    gather = os.environ.get("NDT_GATHER", "two_level")
+    max_compact = int(os.environ.get("NDT_MAX_COMPACT", "65536"))
+    max_iter = int(os.environ.get("NDT_MAX_ITER", "30"))
     cfg = NDTConfig(
-        resolution=1.0, grid_dims=(256, 256, 64), point_chunk=8192, max_iter=30,
-        stencil=stencil,
+        resolution=1.0, grid_dims=(256, 256, 64), point_chunk=8192, max_iter=max_iter,
+        stencil=stencil, gather=gather, max_compact_voxels=max_compact,
     )
     n_frames = 20
     raw_capacity = 131072

@@ -82,6 +82,10 @@ class NDTConfig:
     # 'direct7' = centre + 6 face neighbours, ungated (the pclomp-style fast
     # mode: ~4x fewer gathers per point).
     stencil: str = "radius27"
+    # stats fetch: 'two_level' = int32 index gather + packed-row gather
+    # (XLA); 'onehot' = Pallas one-hot MXU selection against the compact
+    # keys (no gather instructions; best when max_compact_voxels is small)
+    gather: str = "two_level"
     weight_derivatives: bool = True
     # More-Thuente step-length iterations. 0 (default) reproduces the
     # reference's effective behaviour (its loop is dead code — see module
@@ -95,8 +99,11 @@ class NDTConfig:
     # after >= 3 iterations. The reference iterates on step length only and
     # measurably wanders up to max_iter on aliased scenes (21.6 mean
     # iterations on the corridor bench, with no accuracy gain after ~6).
-    # 0 disables (reference-exact stopping).
-    score_rel_tol: float = 1e-3
+    # DEFAULT 0 (disabled): enabling it reproducibly HANGS the XLA TPU
+    # compiler in this toolchain (align programs with the extra predicate
+    # never finish compiling; tol=0 compiles in seconds). Use max_iter to
+    # bound work until the toolchain moves.
+    score_rel_tol: float = 0.0
     point_chunk: int = 8192
 
     def gauss_params(self) -> Tuple[float, float]:
@@ -130,6 +137,7 @@ class NDTMap:
     valid: jax.Array  # [V] bool: enough points & non-degenerate covariance
     index: jax.Array  # [V] int32 -> row in `packed` (sentinel = last row)
     packed: jax.Array  # [C+1, 16] compact stats; last row is the zero sentinel
+    keys: jax.Array  # [C+1] int32 flat voxel id per compact row (-1 unused)
     dims: Tuple[int, int, int] = flax.struct.field(pytree_node=False)
     resolution: float = flax.struct.field(pytree_node=False, default=1.0)
 
@@ -230,6 +238,11 @@ def build_ndt_map(cloud: PointCloud, config: NDTConfig, origin=None) -> NDTMap:
         jnp.where(in_cap[:, None], rows, 0.0), mode="drop"
     )
     packed = packed.at[cap].set(0.0)  # zero sentinel row (valid flag = 0)
+    vid_all = jnp.arange(v, dtype=jnp.int32)
+    keys = jnp.full((cap + 1,), -1, jnp.int32).at[scatter_to].set(
+        jnp.where(in_cap, vid_all, -1), mode="drop"
+    )
+    keys = keys.at[cap].set(-1)
     return NDTMap(
         origin=origin,
         count=count,
@@ -239,6 +252,7 @@ def build_ndt_map(cloud: PointCloud, config: NDTConfig, origin=None) -> NDTMap:
         valid=valid,
         index=index,
         packed=packed,
+        keys=keys,
         dims=dims,
         resolution=config.resolution,
     )
@@ -394,10 +408,16 @@ def ndt_derivatives(
         inb = jnp.all((cand >= 0) & (cand < jnp.asarray(dims, jnp.int32)), axis=-1)
         vid = jnp.where(inb, _flat_vid(cand, dims), 0)
 
-        # two-level gather: 4 B/slot from the dense index grid, then 64 B
-        # stats rows from the small compact table (see NDTMap docstring)
-        ci = ndt_map.index[vid]  # [C, 27] int32
-        pk = ndt_map.packed[ci]  # [C, 27, 16]
+        if config.gather == "onehot":
+            from ...ops.pallas.ndt_reduce import gather_stats_onehot
+
+            vid_masked = jnp.where(inb, vid, -2)
+            pk = gather_stats_onehot(ndt_map.keys, ndt_map.packed, vid_masked)
+        else:
+            # two-level gather: 4 B/slot from the dense index grid, then 64 B
+            # stats rows from the small compact table (see NDTMap docstring)
+            ci = ndt_map.index[vid]  # [C, 27] int32
+            pk = ndt_map.packed[ci]  # [C, 27, 16]
         mu = pk[..., 0:3]
         sv = pk[..., 3]
         ixx, ixy, ixz = pk[..., 4], pk[..., 5], pk[..., 6]
