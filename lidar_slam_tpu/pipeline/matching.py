@@ -44,6 +44,8 @@ class MatchingConfig:
     yaw_samples: int = 270
     yaw_agree_tol: float = 0.03  # two consecutive estimates must agree [rad]
     init_mode: str = "full_pose"  # 'full_pose' | 'only_position'
+    # coarse-to-fine matching (see FrontEndConfig.coarse_to_fine)
+    coarse_to_fine: bool = True
 
 
 @partial(jax.jit, static_argnames=("dim", "cell"))
@@ -115,7 +117,21 @@ class Matching:
         cloud = voxel_downsample(cloud, cfg.local_map_leaf, out_capacity=cfg.local_map_capacity)
         self._local_cloud = cloud
         self.ndt_map = build_ndt_map(cloud, cfg.ndt)
+        self.coarse_ndt_map = None
+        if cfg.coarse_to_fine:
+            self.coarse_ndt_map = build_ndt_map(cloud, self._coarse_cfg())
         self.local_map_origin = center.copy()
+
+    def _coarse_cfg(self):
+        import dataclasses
+
+        c = self.cfg.ndt
+        return dataclasses.replace(
+            c,
+            resolution=c.resolution * 2.0,
+            grid_dims=(c.grid_dims[0] // 2, c.grid_dims[1] // 2, c.grid_dims[2] // 2),
+            max_iter=max(5, c.max_iter // 3),
+        )
 
     def _maybe_refresh_local_map(self, position: np.ndarray) -> None:
         half = self.cfg.box_size / 2.0
@@ -204,7 +220,10 @@ class Matching:
             return None
 
         predict = self.current_pose @ self.predict_step
-        result = ndt_align(self.ndt_map, frame, jnp.asarray(predict), cfg.ndt)
+        guess = jnp.asarray(predict)
+        if cfg.coarse_to_fine and self.coarse_ndt_map is not None:
+            guess = ndt_align(self.coarse_ndt_map, frame, guess, self._coarse_cfg()).pose
+        result = ndt_align(self.ndt_map, frame, guess, cfg.ndt)
         pose = np.asarray(result.pose)
         self.predict_step = (np.linalg.inv(self.current_pose) @ pose).astype(np.float32)
         self.current_pose = pose

@@ -100,6 +100,31 @@ class Viewer:
         leaf = self.cfg.global_map_leaf if filtered else 1e-6
         return self._joint_map(range(len(self.corrected_poses)), leaf)
 
+    def save_trajectory_plot(self, path: str, gt_poses=None) -> None:
+        """Top-down trajectory (+map) plot — the offline stand-in for the
+        reference's rviz visualization (rviz/mapping.rviz)."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots(figsize=(8, 8))
+        gmap = self.get_global_map(filtered=True)
+        if len(gmap):
+            ax.scatter(gmap[:, 0], gmap[:, 1], s=0.2, c="#cccccc", label="map")
+        if self.corrected_poses:
+            t = np.stack(self.corrected_poses)[:, :2, 3]
+            ax.plot(t[:, 0], t[:, 1], "b.-", lw=1, ms=3, label="optimized")
+        if gt_poses is not None:
+            g = np.asarray(gt_poses)[:, :2, 3]
+            ax.plot(g[:, 0], g[:, 1], "g--", lw=1, label="ground truth")
+        ax.set_aspect("equal")
+        ax.legend(loc="best")
+        ax.set_xlabel("x [m]")
+        ax.set_ylabel("y [m]")
+        fig.savefig(path, dpi=120, bbox_inches="tight")
+        plt.close(fig)
+
     def save_map(self) -> dict:
         """SaveMap (viewer.cpp:193-215): write map + filtered map + the
         optimized trajectory next to the keyframe store."""
