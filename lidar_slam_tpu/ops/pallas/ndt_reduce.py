@@ -33,24 +33,20 @@ def pallas_supported() -> bool:
 
 
 def _gather_kernel(keys_ref, table_ref, vids_ref, out_ref):
-    """One grid step: [T, S] vids -> [T, S, F] stats rows.
+    """One grid step: [R, 1] vids -> [R, F] stats rows. Reshape-free on
+    purpose — Mosaic rejects in-kernel shape casts ("infer-vector-layout:
+    unsupported shape cast"); all row flattening happens outside.
 
     keys: [1, C] int32 flat voxel ids of compact rows (sentinel rows use -1,
     which never matches a real vid).
     table: [C, F] float32 packed stats.
     """
-    vids = vids_ref[:]  # [T, S] int32
-    t, s = vids.shape
-    c = keys_ref.shape[1]
-    f = table_ref.shape[1]
-    flat = vids.reshape(t * s, 1)
-    onehot = (flat == keys_ref[:]).astype(jnp.float32)  # [T*S, C]
-    rows = jnp.dot(onehot, table_ref[:], preferred_element_type=jnp.float32)
-    out_ref[:] = rows.reshape(t, s, f)
+    onehot = (vids_ref[:] == keys_ref[:]).astype(jnp.float32)  # [R, C]
+    out_ref[:] = jnp.dot(onehot, table_ref[:], preferred_element_type=jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "interpret"))
-def gather_stats_onehot(keys, table, vids, tile: int = 8, interpret: bool = False):
+def gather_stats_onehot(keys, table, vids, tile: int = 256, interpret: bool = False):
     """Gather packed stat rows for every (point, slot) voxel id.
 
     Args:
@@ -58,29 +54,31 @@ def gather_stats_onehot(keys, table, vids, tile: int = 8, interpret: bool = Fals
       table: [C, F] float32 stats (row i corresponds to keys[i]).
       vids: [N, S] int32 query voxel ids (any id absent from keys yields a
         zero row — the natural sentinel).
-      tile: points per grid step (VMEM budget: tile*S*C one-hot floats).
+      tile: flattened (point, slot) rows per grid step (VMEM budget:
+        tile * C one-hot floats).
     Returns:
       [N, S, F] float32.
     """
     n, s = vids.shape
     c, f = table.shape
-    pad = (-n) % tile
-    vids_p = jnp.pad(vids, ((0, pad), (0, 0)), constant_values=-2)
-    np_ = n + pad
+    rows = vids.reshape(n * s, 1)
+    pad = (-(n * s)) % tile
+    rows_p = jnp.pad(rows, ((0, pad), (0, 0)), constant_values=-2)
+    total = n * s + pad
 
     out = pl.pallas_call(
         _gather_kernel,
-        grid=(np_ // tile,),
+        grid=(total // tile,),
         in_specs=[
             pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((c, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, s), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tile, s, f), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((np_, s, f), jnp.float32),
+        out_specs=pl.BlockSpec((tile, f), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((total, f), jnp.float32),
         interpret=interpret,
-    )(keys.reshape(1, c), table, vids_p)
-    return out[:n]
+    )(keys.reshape(1, c), table, rows_p)
+    return out[: n * s].reshape(n, s, f)
 
 
 def ndt_derivatives_pallas(ndt_map, points, mask, pose, config, compute_hessian=True, weights=None):
