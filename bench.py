@@ -35,7 +35,10 @@ def main():
 
     import os
 
-    stencil = os.environ.get("NDT_STENCIL", "radius27")
+    # default operating point: direct7 (the pclomp-style production
+    # neighbourhood; measured 5.48 vs 1.72 fps against the reference-exact
+    # gated radius27, which stays available via NDT_STENCIL=radius27)
+    stencil = os.environ.get("NDT_STENCIL", "direct7")
     gather = os.environ.get("NDT_GATHER", "two_level")
     max_compact = int(os.environ.get("NDT_MAX_COMPACT", "65536"))
     max_iter = int(os.environ.get("NDT_MAX_ITER", "30"))
