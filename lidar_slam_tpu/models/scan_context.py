@@ -150,6 +150,18 @@ class SCManager:
         self.count += 1
         return self.descs[self.count - 1]
 
+    def save_descriptor_png(self, index: int, path: str) -> None:
+        """Write descriptor `index` as a grayscale PNG — the per-keyframe
+        image dump of loop_closing.cpp:136-137 (cv::imwrite)."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        d = self.descs[index]
+        hi = max(float(d.max()), 1e-6)
+        plt.imsave(path, d / hi, cmap="gray", vmin=0.0, vmax=1.0)
+
     def detect(self):
         """Loop candidate for the most recent descriptor.
         Returns (index or -1, distance, yaw_rad)."""
