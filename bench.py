@@ -106,12 +106,23 @@ def main():
 
     t0 = time.time()
     iters = []
+    poses = []
     for pts, mask, guess in frames:
         pose, it = step(ndt_map, pts, mask, guess)
         iters.append(it)
+        poses.append(pose)
     jax.block_until_ready(pose)
     dt = time.time() - t0
     fps = n_frames / dt
+    # quality guard: the speed number is only meaningful if poses converge
+    errs = [
+        float(np.linalg.norm(np.asarray(p)[:3, 3] - traj[10 + (i % 20)][:3, 3]))
+        for i, p in enumerate(poses)
+    ]
+    print(
+        f"pose error vs ground truth: mean {np.mean(errs):.3f} m, max {np.max(errs):.3f} m",
+        file=sys.stderr,
+    )
     print(
         f"scan match: {dt/n_frames*1000:.1f} ms/frame, mean Newton iters "
         f"{np.mean([int(i) for i in iters]):.1f}",
