@@ -33,7 +33,10 @@ def _run_mapping(args) -> int:
 
     cfg = load_config(args.config)
     store = KeyframeStore(args.out, resume=False)
-    fe = FrontEnd(cfg.front_end)
+    if getattr(args, "front_end", "ndt") == "aloam":
+        fe = _AloamFrontEnd()
+    else:
+        fe = FrontEnd(cfg.front_end)
     be = BackEnd(cfg.back_end, store=store)
     lc = LoopClosing(cfg.loop_closing, store=store)
     viewer = Viewer(cfg.viewer, store)
@@ -112,6 +115,52 @@ def _run_matching(args) -> int:
     return 0
 
 
+class _AloamFrontEnd:
+    """A-LOAM two-stage front end behind the FrontEnd.update API — the
+    mapping_with_aloam.launch wiring (A-LOAM odometry+mapping feeding the
+    lidar_localization back end)."""
+
+    def __init__(self):
+        from .pipeline.aloam import (
+            AloamMapping,
+            AloamMappingConfig,
+            AloamOdometry,
+            AloamOdometryConfig,
+            FeatureExtractionConfig,
+        )
+
+        self.fe_cfg = FeatureExtractionConfig(
+            n_scans=64, min_range=2.5, capacity=131072,
+            max_sharp=1024, max_less_sharp=8192, max_flat=2048, max_less_flat=16384,
+        )
+        self.odo = AloamOdometry(AloamOdometryConfig())
+        self.mapping = AloamMapping(AloamMappingConfig())
+        self.T0 = None
+
+    def set_init_pose(self, pose):
+        import numpy as _np
+
+        self.T0 = _np.asarray(pose, _np.float32)
+
+    def update(self, points, mask=None, bboxes=None):
+        import jax.numpy as jnp
+        import numpy as _np
+
+        from .pipeline.aloam import extract_features
+
+        pts = _np.zeros((self.fe_cfg.capacity, 3), _np.float32)
+        msk = _np.zeros(self.fe_cfg.capacity, bool)
+        n = min(len(points), self.fe_cfg.capacity)
+        pts[:n] = _np.asarray(points, _np.float32)[:n]
+        msk[:n] = True if mask is None else _np.asarray(mask, bool)[:n]
+        f = extract_features(jnp.asarray(pts), jnp.asarray(msk), self.fe_cfg)
+        T_odom = self.odo.update(f)
+        T_map = self.mapping.update(f, T_odom)
+        if self.T0 is None:
+            self.T0 = _np.eye(4, dtype=_np.float32)
+        return (self.T0 @ T_map).astype(_np.float32), False
+
+
 def _frame_source(args):
     """Yield frames from KITTI raw / odometry dirs or the synthetic world."""
     if getattr(args, "kitti_raw", None):
@@ -136,6 +185,7 @@ def _frame_source(args):
             make_hairpin_trajectory,
             make_trajectory,
             simulate_scan,
+            simulate_spinning_scan,
         )
 
         n = int(args.synthetic)
@@ -148,8 +198,15 @@ def _frame_source(args):
             gt = make_hairpin_trajectory(n_out=rest, n_turn=n_turn, n_back=rest, speed=1.0)
         else:
             gt = make_trajectory(n, speed=1.0)
+        spinning = getattr(args, "front_end", "ndt") == "aloam"
         for i in range(len(gt)):
-            pts, mask, bboxes = simulate_scan(world, gt[i], t=i * 0.1, n_points=16384, seed=i)
+            if spinning:
+                pts, mask = simulate_spinning_scan(
+                    world, gt[i], t=i * 0.1, n_scans=64, n_azimuth=1024, seed=i
+                )
+                bboxes = None
+            else:
+                pts, mask, bboxes = simulate_scan(world, gt[i], t=i * 0.1, n_points=16384, seed=i)
             yield {
                 "points": pts[mask],
                 "time": i * 0.1,
@@ -172,6 +229,11 @@ def main(argv=None) -> int:
     mp = sub.add_parser("mapping", help="build a map (front end + back end + loops)")
     add_source(mp)
     mp.add_argument("--out", default="slam_data")
+    mp.add_argument(
+        "--front-end", dest="front_end", choices=["ndt", "aloam"], default="ndt",
+        help="odometry front end: NDT scan-to-map (mapping.launch) or "
+             "A-LOAM two-stage (mapping_with_aloam.launch)",
+    )
 
     lp = sub.add_parser("matching", help="localize against a prebuilt map")
     add_source(lp)
