@@ -161,6 +161,34 @@ class _AloamFrontEnd:
         return (self.T0 @ T_map).astype(_np.float32), False
 
 
+def _run_inspect(args) -> int:
+    """Integration sanity check of data decode + extrinsics + ENU — the
+    test_frame_node role (src/apps/test_frame_node.cpp:22-99) without rviz:
+    prints per-frame stats and validates pose/point invariants."""
+    ok = True
+    for i, frame in enumerate(_frame_source(args)):
+        if i >= args.frames:
+            break
+        pts = np.asarray(frame["points"])
+        finite = np.isfinite(pts).all(axis=1)
+        r = np.linalg.norm(pts[finite], axis=1) if finite.any() else np.zeros(1)
+        pose = frame.get("gnss_pose", frame.get("gt_pose"))
+        line = (
+            f"frame {i}: {len(pts)} pts ({finite.mean()*100:.1f}% finite), "
+            f"range [{r.min():.1f}, {r.max():.1f}] m"
+        )
+        if pose is not None:
+            R = np.asarray(pose)[:3, :3]
+            orth = np.abs(R @ R.T - np.eye(3)).max()
+            line += f", pose t={np.asarray(pose)[:3, 3]}, |RR^T - I|={orth:.1e}"
+            if orth > 1e-3:
+                ok = False
+                line += "  <-- NON-ORTHONORMAL ROTATION"
+        print(line)
+    print("inspect:", "OK" if ok else "FAILED")
+    return 0 if ok else 1
+
+
 def _frame_source(args):
     """Yield frames from KITTI raw / odometry dirs or the synthetic world."""
     if getattr(args, "kitti_raw", None):
@@ -239,6 +267,13 @@ def main(argv=None) -> int:
     add_source(lp)
     lp.add_argument("--map", default="slam_data")
 
+    ip = sub.add_parser(
+        "inspect",
+        help="decode + sanity-check a frame source (the test_frame_node role)",
+    )
+    add_source(ip)
+    ip.add_argument("--frames", type=int, default=5)
+
     bp = sub.add_parser("bench", help="run the headline benchmark")
 
     args = p.parse_args(argv)
@@ -250,6 +285,10 @@ def main(argv=None) -> int:
         if not (args.kitti_raw or args.kitti_odometry or args.synthetic):
             p.error("matching needs a frame source")
         return _run_matching(args)
+    if args.cmd == "inspect":
+        if not (args.kitti_raw or args.kitti_odometry or args.synthetic):
+            p.error("inspect needs a frame source")
+        return _run_inspect(args)
     if args.cmd == "bench":
         import runpy
 
