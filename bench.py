@@ -35,12 +35,12 @@ def main():
 
     import os
 
-    # default operating point: direct7 (the pclomp-style production
-    # neighbourhood; measured 5.48 vs 1.72 fps against the reference-exact
-    # gated radius27, which stays available via NDT_STENCIL=radius27)
+    # default operating point: direct7 neighbourhood (pclomp-style; the
+    # reference-exact gated radius27 stays available via NDT_STENCIL) with
+    # the fused Pallas kernel (NDT_GATHER=two_level for the XLA path).
     stencil = os.environ.get("NDT_STENCIL", "direct7")
-    gather = os.environ.get("NDT_GATHER", "two_level")
-    max_compact = int(os.environ.get("NDT_MAX_COMPACT", "65536"))
+    gather = os.environ.get("NDT_GATHER", "fused")
+    max_compact = int(os.environ.get("NDT_MAX_COMPACT", "8192"))
     max_iter = int(os.environ.get("NDT_MAX_ITER", "30"))
     cfg = NDTConfig(
         resolution=1.0, grid_dims=(256, 256, 64), point_chunk=8192, max_iter=max_iter,

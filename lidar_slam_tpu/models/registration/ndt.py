@@ -83,12 +83,22 @@ class NDTConfig:
     # mode: ~4x fewer gathers per point).
     stencil: str = "radius27"
     # stats fetch: 'two_level' = int32 index gather + packed-row gather
-    # (XLA); 'onehot' = Pallas one-hot MXU selection against the compact
-    # keys (no gather instructions). Measured on v5e at KITTI scale:
-    # two_level 10.7 ms/eval vs onehot 21.6 ms/eval at C=8192 — the one-hot
-    # compare+narrow-matmul scales with table capacity, so it only wins for
-    # small maps; default stays two_level.
+    # (XLA); 'onehot' = Pallas one-hot MXU selection for the fetch stage
+    # only (derivative math stays XLA; measured slower than two_level);
+    # 'fused' = the full Pallas kernel (ops/pallas/ndt_fused.py): one-hot
+    # MXU selection + the whole score/grad/Hessian reduction in VMEM, no
+    # gathers and no HBM intermediates. 'fused' cost scales with
+    # max_compact_voxels (the one-hot domain) — use it with capacity sized
+    # to the map (<= 16384, e.g. 8192 for 20-keyframe local maps; a local
+    # map measures ~2-8k valid voxels); keep 'two_level' for huge global
+    # matching maps.
     gather: str = "two_level"
+    # key-window width for gather='fused': per point tile the kernel only
+    # compares/contracts against this many sorted keys around the tile's
+    # voxel-id range. Must cover the worst-case occupied-key count within
+    # one x-neighbour span (+/- dims[1]*dims[2] voxel ids) — the kernel
+    # reports an `unresolved` count if it ever doesn't (checked in tests).
+    fused_window: int = 2048
     weight_derivatives: bool = True
     # More-Thuente step-length iterations. 0 (default) reproduces the
     # reference's effective behaviour (its loop is dead code — see module
@@ -98,6 +108,15 @@ class NDTConfig:
     # indefinite-Hessian iterations and stop early on sparse maps, so it is
     # opt-in per use site (e.g. fine-resolution refinement passes).
     max_step_iterations: int = 0
+    # 'newton' = the reference's clamped-Newton iteration (step length
+    # limited to step_size = 0.1 m, so convergence from a 1 m-off initial
+    # guess takes ~15-25 derivative evaluations). 'lm' = Levenberg-Marquardt
+    # on -score with full damped-Newton trial steps and accept/reject — one
+    # derivative evaluation per iteration, typically 4-8 evaluations for the
+    # same optimum (measured equal-or-better pose error on the corridor
+    # bench). Same objective, same convergence test (|step| < trans_eps);
+    # only the step-length policy differs from the reference.
+    solver: str = "newton"
     # stop when the score stops improving: |dscore| < score_rel_tol * |score|
     # after >= 3 iterations. The reference iterates on step length only and
     # measurably wanders up to max_iter on aliased scenes (21.6 mean
@@ -362,6 +381,101 @@ def _matrix_to_pose(T):
     return jnp.concatenate([T[:3, 3], jnp.stack([rx, ry, rz])])
 
 
+def _ndt_derivatives_fused(
+    ndt_map: NDTMap, points, mask, pose, config: NDTConfig, weights, return_unresolved=False
+):
+    """Fused Pallas path: one-hot MXU stats selection over a per-tile key
+    window + full derivative reduction in VMEM (ops/pallas/ndt_fused.py).
+    Numerically equivalent to the XLA path (exact as long as the kernel's
+    `unresolved` output is 0 — asserted in tests, checkable here with
+    return_unresolved=True)."""
+    from ...ops.pallas.ndt_fused import KEY_SENTINEL, ndt_reduce_fused, unpack_results, _NROWS
+    from ...ops.pallas.ndt_reduce import pallas_supported
+
+    d1, d2 = config.gauss_params()
+    res = jnp.float32(ndt_map.resolution)
+    dims = ndt_map.dims
+
+    R = euler_xyz_to_matrix(pose[3], pose[4], pose[5])
+    t = pose[:3]
+    jang, hang = _angle_jacobian_tensors(pose)
+
+    if weights is None:
+        weights = jnp.ones(points.shape[:-1], jnp.float32)
+    pts = jnp.where(mask[:, None], points, 0.0)
+    xp = pts @ R.T + t
+    cell = jnp.floor((xp - ndt_map.origin) / res).astype(jnp.int32)  # [N, 3]
+    # masked points go far out of bounds: no contribution, no unresolved hits
+    cell = jnp.where(mask[:, None], cell, -(2**20))
+
+    jrot = jnp.einsum("arj,cj->cra", jang, pts)  # [N, 3(r), 3(a)]
+    hrot = jnp.einsum("abrk,ck->cabr", hang, pts)  # [N, 3(a), 3(b), 3(r)]
+    pairs = jnp.stack(
+        [hrot[:, 0, 0], hrot[:, 0, 1], hrot[:, 0, 2], hrot[:, 1, 1], hrot[:, 1, 2], hrot[:, 2, 2]],
+        axis=1,
+    )  # [N, 6, 3]
+
+    pw = weights * mask.astype(jnp.float32)
+    rows = jnp.concatenate(
+        [xp, pw[:, None], jrot.reshape(-1, 9), pairs.reshape(-1, 18)], axis=-1
+    )  # [N, 31]
+    assert rows.shape[-1] == _NROWS
+
+    tile = 256
+    n = points.shape[0]
+    pad = (-n) % tile
+    cell_p = jnp.pad(cell, ((0, pad), (0, 0)), constant_values=-(2**20))
+    cell_t = cell_p.T  # [3, N']
+    rows_t = jnp.pad(rows, ((0, pad), (0, 0))).T  # [31, N']
+
+    c0 = ndt_map.keys.shape[0]
+    cpad = (-c0) % 128
+    keys = jnp.pad(ndt_map.keys, (0, cpad), constant_values=-1)
+    keys = jnp.where(keys < 0, KEY_SENTINEL, keys)  # sorted ascending
+    table_t = jnp.pad(ndt_map.packed, ((0, cpad), (0, 0))).T  # [16, C]
+    c = keys.shape[0]
+    window = min(config.fused_window, c)
+
+    # per-tile key-window start, anchored at the smallest candidate vid any
+    # point in the tile can touch. Out-of-grid boundary points can still
+    # have in-bounds stencil neighbours, so the anchor uses the CLAMPED cell
+    # (each component moves <= 1 for a point with any in-bounds candidate,
+    # and offsets are +-1), giving |candidate - clamped vid| <= 2 strides.
+    span = 2 * (dims[1] * dims[2] + dims[2] + 1)
+    cell_cl = jnp.clip(cell_p, 0, jnp.asarray(dims, jnp.int32) - 1)
+    vid0 = (cell_cl[:, 0] * dims[1] + cell_cl[:, 1]) * dims[2] + cell_cl[:, 2]
+    vid0 = jnp.where(jnp.pad(mask, (0, pad)), vid0, KEY_SENTINEL)
+    vmin = jnp.min(vid0.reshape(-1, tile), axis=1) - span  # [G]
+    lo_key = jnp.searchsorted(keys, vmin, side="left").astype(jnp.int32)
+    lo = jnp.clip((lo_key // 128) * 128, 0, c - window)
+
+    offsets = tuple(
+        tuple(int(v) for v in row)
+        for row in (_stencil27() if config.stencil == "radius27" else _stencil7())
+    )
+    sums = ndt_reduce_fused(
+        lo,
+        keys,
+        table_t,
+        cell_t,
+        rows_t,
+        dims=dims,
+        offsets=offsets,
+        d1=float(d1),
+        d2=float(d2),
+        res2=float(config.resolution) ** 2,
+        gate_radius=(config.stencil == "radius27"),
+        weight_derivatives=config.weight_derivatives,
+        tile=tile,
+        window=window,
+        interpret=not pallas_supported(),
+    )
+    score, grad, hess, unresolved = unpack_results(sums)
+    if return_unresolved:
+        return score, grad, hess, unresolved
+    return score, grad, hess
+
+
 def ndt_derivatives(
     ndt_map: NDTMap,
     points,
@@ -380,6 +494,9 @@ def ndt_derivatives(
     Returns (score, gradient [6], hessian [6, 6]); hessian is zeros when
     compute_hessian=False.
     """
+    if config.gather == "fused":
+        return _ndt_derivatives_fused(ndt_map, points, mask, pose, config, weights)
+
     d1, d2 = config.gauss_params()
     d1 = jnp.float32(d1)
     d2 = jnp.float32(d2)
@@ -574,6 +691,66 @@ def _update_interval(a_l, f_l, g_l, a_u, f_u, g_u, a_t, f_t, g_t):
     return new_a_l, new_f_l, new_g_l, new_a_u, new_f_u, new_g_u, converged
 
 
+def lm_align(derivs, init_pose, config: NDTConfig, n_valid_points):
+    """Levenberg-Marquardt on L(p) = -score: full damped-Newton trial steps
+    with accept/reject, one derivative evaluation per iteration.
+
+    TPU-motivated redesign of the reference's clamped-Newton loop: each
+    derivative evaluation is one large fused device reduction, so wall time
+    is evals x eval-cost — LM converges in ~4-8 evals where the 0.1 m step
+    clamp (NormalDistributionsTransform.cpp:367,682-756) needs 15-25.
+    """
+    p0 = _matrix_to_pose(jnp.asarray(init_pose, jnp.float32))
+    score0, grad0, hess0 = derivs(p0, True)
+
+    lam0 = jnp.float32(1e-4)
+    lam_max = jnp.float32(1e6)
+
+    def solve_damped(hess_l, grad_l, lam):
+        d = jnp.abs(jnp.diag(hess_l))
+        damp = jnp.diag(jnp.maximum(d, 1e-6) * lam)
+        A = hess_l + damp
+        delta = jnp.linalg.solve(A, -grad_l)
+        bad = ~jnp.all(jnp.isfinite(delta))
+        return jnp.where(bad, 0.0, delta), bad
+
+    def cond(st):
+        _, _, _, _, lam, it, converged = st
+        return (~converged) & (it < config.max_iter) & (lam < lam_max)
+
+    def body(st):
+        p, score, grad, hess, lam, it, _ = st
+        # minimize L = -score
+        delta, bad = solve_damped(-hess, -grad, lam)
+        p_t = p + delta
+        s_t, g_t, h_t = derivs(p_t, True)
+        accept = jnp.isfinite(s_t) & (s_t > score) & ~bad
+        p_n = jnp.where(accept, p_t, p)
+        s_n = jnp.where(accept, s_t, score)
+        g_n = jnp.where(accept, g_t, grad)
+        h_n = jnp.where(accept, h_t, hess)
+        lam_n = jnp.where(accept, jnp.maximum(lam / 3.0, 1e-7), lam * 9.0)
+        step = jnp.linalg.norm(delta)
+        # converged only when the undamped model agrees: small step at small
+        # lambda (a high-lambda tiny step is the damping, not the optimum)
+        converged = accept & (step < config.trans_eps) & (lam <= 1e-2)
+        return (p_n, s_n, g_n, h_n, lam_n, it + 1, converged)
+
+    init = (p0, score0, grad0, hess0, lam0, jnp.int32(0), jnp.bool_(False))
+    p, score, grad, hess, lam, iters, converged = jax.lax.while_loop(cond, body, init)
+
+    n_valid = jnp.maximum(jnp.asarray(n_valid_points, jnp.float32), 1.0)
+    return NDTResult(
+        pose=_pose_to_matrix(p),
+        trans_probability=score / n_valid,
+        score=score,
+        iterations=iters,
+        converged=converged,
+        gradient=grad,
+        hessian=hess,
+    )
+
+
 def newton_align(derivs, init_pose, config: NDTConfig, n_valid_points):
     """Newton iteration over p = (t, roll, pitch, yaw) with the (optionally
     zero-iteration) More-Thuente step-length rule — functional port of
@@ -581,8 +758,11 @@ def newton_align(derivs, init_pose, config: NDTConfig, n_valid_points):
 
     `derivs(pose6, need_hessian) -> (score, grad, hess)` abstracts where the
     reduction runs: local arrays (ndt_align) or a device mesh with psum
-    (parallel/sharded_ndt.py).
+    (parallel/sharded_ndt.py). With config.solver == 'lm', dispatches to
+    lm_align (same interface, different step-length policy).
     """
+    if config.solver == "lm":
+        return lm_align(derivs, init_pose, config, n_valid_points)
     mu = 1.0e-4
     nu = 0.9
     step_min = config.trans_eps / 2.0
@@ -710,6 +890,22 @@ def ndt_align(
     pts = source.points
     mask = source.mask
     w = source.get_weights()
+
+    if config.gather == "fused":
+        # sort points by initial-pose voxel id ONCE per alignment: the fused
+        # kernel's per-tile key window needs spatially coherent tiles, and
+        # the pose moves <= step_size per iteration so the order stays
+        # coherent across the whole Newton loop
+        T0 = jnp.asarray(init_pose, jnp.float32)
+        xp0 = pts @ T0[:3, :3].T + T0[:3, 3]
+        cell0 = jnp.floor((xp0 - ndt_map.origin) / ndt_map.resolution).astype(jnp.int32)
+        cell0 = jnp.clip(cell0, 0, jnp.asarray(ndt_map.dims, jnp.int32) - 1)
+        vid0 = _flat_vid(cell0, ndt_map.dims)
+        vid0 = jnp.where(mask, vid0, jnp.int32(2**30))
+        order = jnp.argsort(vid0)
+        pts = pts[order]
+        mask = mask[order]
+        w = w[order]
 
     def derivs(pose, need_hessian):
         return ndt_derivatives(ndt_map, pts, mask, pose, config, need_hessian, weights=w)

@@ -105,7 +105,10 @@ def voxel_downsample(cloud: PointCloud, leaf_size, out_capacity: Optional[int] =
     big = jnp.int32(2**30)
     coords = jnp.where(mask[:, None], coords, big)  # invalid sorts last
 
-    order = jnp.lexsort((coords[:, 0], coords[:, 1], coords[:, 2]))
+    # x-major order (x primary, then y, z): downstream consumers rely on
+    # spatial coherence along x — the fused NDT kernel's per-tile key window
+    # matches the x-major flat voxel id layout
+    order = jnp.lexsort((coords[:, 2], coords[:, 1], coords[:, 0]))
     sc = coords[order]
     sp = pts[order]
     sm = mask[order]

@@ -190,3 +190,96 @@ class TestAlign:
         fit_bad = float(ndt_fitness_score(m, src, T_bad, CFG))
         assert fit_good < fit_bad
         assert fit_good < 0.5
+
+
+class TestFusedKernel:
+    """The fused Pallas path (ops/pallas/ndt_fused.py) must agree with the
+    XLA path exactly (interpret mode on CPU; same kernel runs compiled on
+    TPU — parity re-measured there at <1e-6, scratch history)."""
+
+    def _setup(self, stencil):
+        import dataclasses
+
+        pts = make_scene(25, 50, seed=3)
+        cloud = PointCloud.from_points(pts)
+        cfg = dataclasses.replace(
+            CFG, stencil=stencil, max_compact_voxels=2048, fused_window=512
+        )
+        m = build_ndt_map(cloud, cfg, origin=jnp.asarray([-16.0, -16.0, -8.0]))
+        rng = np.random.default_rng(5)
+        src = pts[rng.permutation(len(pts))[:1024]]
+        weights = rng.uniform(0.2, 1.0, size=1024).astype(np.float32)
+        source = PointCloud.from_points(src, weights=weights)
+        pose6 = jnp.asarray([0.12, -0.08, 0.03, 0.01, -0.02, 0.04], jnp.float32)
+        return cfg, m, source, pose6
+
+    @pytest.mark.parametrize("stencil", ["direct7", "radius27"])
+    def test_derivatives_parity(self, stencil):
+        import dataclasses
+
+        from lidar_slam_tpu.models.registration.ndt import _ndt_derivatives_fused
+
+        cfg, m, source, pose6 = self._setup(stencil)
+        s0, g0, h0 = ndt_derivatives(
+            m, source.points, source.mask, pose6, cfg, True, weights=source.get_weights()
+        )
+        s1, g1, h1, unresolved = _ndt_derivatives_fused(
+            m, source.points, source.mask, pose6, cfg, source.get_weights(), True
+        )
+        assert float(unresolved) == 0.0
+        np.testing.assert_allclose(float(s1), float(s0), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(h1), np.asarray(h0), rtol=1e-4, atol=1e-3)
+
+    def test_align_parity(self):
+        import dataclasses
+
+        cfg, m, source, _ = self._setup("direct7")
+        guess = np.eye(4, dtype=np.float32)
+        guess[:3, 3] = [0.25, -0.15, 0.05]
+        r0 = ndt_align(m, source, jnp.asarray(guess), cfg)
+        r1 = ndt_align(m, source, jnp.asarray(guess), dataclasses.replace(cfg, gather="fused"))
+        # same optimum (iteration paths may differ by f32 summation order)
+        np.testing.assert_allclose(np.asarray(r1.pose), np.asarray(r0.pose), atol=5e-3)
+
+    def test_unsorted_input_still_exact(self):
+        """Coherence is a perf optimization; exactness must hold (or be
+        flagged) for arbitrary point order."""
+        from lidar_slam_tpu.models.registration.ndt import _ndt_derivatives_fused
+
+        cfg, m, source, pose6 = self._setup("direct7")
+        rng = np.random.default_rng(11)
+        perm = rng.permutation(source.capacity)
+        shuffled = PointCloud(
+            points=source.points[perm],
+            mask=source.mask[perm],
+            weights=source.get_weights()[perm],
+        )
+        s0, g0, _ = ndt_derivatives(
+            m, source.points, source.mask, pose6, cfg, True, weights=source.get_weights()
+        )
+        s1, g1, h1, unresolved = _ndt_derivatives_fused(
+            m, shuffled.points, shuffled.mask, pose6, cfg, shuffled.get_weights(), True
+        )
+        if float(unresolved) == 0.0:
+            np.testing.assert_allclose(float(s1), float(s0), rtol=1e-5)
+            np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), rtol=1e-4, atol=1e-5)
+        # else: correctly flagged — callers widen fused_window
+
+
+class TestLMSolver:
+    def test_lm_reaches_same_optimum(self):
+        import dataclasses
+
+        pts = make_scene(30, 60, seed=2)
+        target = PointCloud.from_points(pts)
+        m = build_ndt_map(target, CFG, origin=jnp.asarray([-16.0, -16.0, -8.0]))
+        src = PointCloud.from_points(pts[:1500], capacity=1500)
+        guess = np.eye(4, dtype=np.float32)
+        guess[:3, 3] = [0.2, 0.1, 0.0]
+        r_newton = ndt_align(m, src, jnp.asarray(guess), CFG)
+        r_lm = ndt_align(m, src, jnp.asarray(guess), dataclasses.replace(CFG, solver="lm"))
+        t_n = np.asarray(r_newton.pose)[:3, 3]
+        t_l = np.asarray(r_lm.pose)[:3, 3]
+        assert np.linalg.norm(t_l) < 0.05  # recovers identity
+        assert np.linalg.norm(t_n - t_l) < 0.05
