@@ -88,10 +88,11 @@ class NDTConfig:
     # 'fused' = the full Pallas kernel (ops/pallas/ndt_fused.py): one-hot
     # MXU selection + the whole score/grad/Hessian reduction in VMEM, no
     # gathers and no HBM intermediates. 'fused' cost scales with
-    # max_compact_voxels (the one-hot domain) — use it with capacity sized
-    # to the map (<= 16384, e.g. 8192 for 20-keyframe local maps; a local
-    # map measures ~2-8k valid voxels); keep 'two_level' for huge global
-    # matching maps.
+    # max_compact_voxels (the one-hot domain is windowed, so capacity only
+    # costs VMEM residency — 65536 measured within 10% of 8192).
+    # 'auto' = 'fused' when a TPU backend is present, else 'two_level'
+    # (keeps CPU tests on the fast XLA path instead of the Pallas
+    # interpreter). Pipeline configs default to 'auto'.
     gather: str = "two_level"
     # key-window width for gather='fused': per point tile the kernel only
     # compares/contracts against this many sorted keys around the tile's
@@ -127,6 +128,13 @@ class NDTConfig:
     # bound work until the toolchain moves.
     score_rel_tol: float = 0.0
     point_chunk: int = 8192
+
+    def resolve_gather(self) -> str:
+        if self.gather == "auto":
+            from ...ops.pallas.ndt_reduce import pallas_supported
+
+            return "fused" if pallas_supported() else "two_level"
+        return self.gather
 
     def gauss_params(self) -> Tuple[float, float]:
         """Gaussian-mixture d1/d2 (eq. 6.8, Magnusson 2009) as in
@@ -494,7 +502,7 @@ def ndt_derivatives(
     Returns (score, gradient [6], hessian [6, 6]); hessian is zeros when
     compute_hessian=False.
     """
-    if config.gather == "fused":
+    if config.resolve_gather() == "fused":
         return _ndt_derivatives_fused(ndt_map, points, mask, pose, config, weights)
 
     d1, d2 = config.gauss_params()
@@ -891,7 +899,7 @@ def ndt_align(
     mask = source.mask
     w = source.get_weights()
 
-    if config.gather == "fused":
+    if config.resolve_gather() == "fused":
         # sort points by initial-pose voxel id ONCE per alignment: the fused
         # kernel's per-tile key window needs spatially coherent tiles, and
         # the pose moves <= step_size per iteration so the order stays

@@ -47,7 +47,7 @@ from ..ops.pointcloud import PointCloud, finite_mask, rotated_box_mask, voxel_do
 class FrontEndConfig:
     """Operating point mirrors config/mapping/front_end.yaml:1-66."""
 
-    ndt: NDTConfig = NDTConfig()
+    ndt: NDTConfig = NDTConfig(gather="auto")
     # raw input scans are padded/truncated to this size before any jitted
     # step — WITHOUT this, every differently-sized scan recompiles the whole
     # pipeline (observed: minutes per frame through the remote compiler)

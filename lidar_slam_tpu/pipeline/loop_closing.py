@@ -39,7 +39,7 @@ class LoopClosingConfig:
     detect_area: float = 10.0  # GPS candidate radius [m]
     extend_frame_num: int = 2  # submap half-width
     fitness_score_limit: float = 0.2
-    ndt: NDTConfig = NDTConfig(resolution=1.0, grid_dims=(160, 160, 40), point_chunk=4096)
+    ndt: NDTConfig = NDTConfig(resolution=1.0, grid_dims=(160, 160, 40), point_chunk=4096, gather="auto")
     map_filter_leaf: float = 0.3
     scan_filter_leaf: float = 0.5
     submap_capacity: int = 65536

@@ -30,7 +30,7 @@ from ..ops.pointcloud import PointCloud, box_crop_mask, finite_mask, voxel_downs
 class MatchingConfig:
     """Operating point from config/matching/matching.yaml."""
 
-    ndt: NDTConfig = NDTConfig(resolution=1.0, grid_dims=(224, 224, 48), point_chunk=8192)
+    ndt: NDTConfig = NDTConfig(resolution=1.0, grid_dims=(224, 224, 48), point_chunk=8192, gather="auto")
     frame_leaf: float = 0.5
     local_map_leaf: float = 0.3
     box_size: float = 200.0  # local map crop edge length
