@@ -74,3 +74,40 @@ class TestShardedGraph:
             np.asarray(g8.poses)[:n, :3, 3], np.asarray(g1.poses)[:n, :3, 3], atol=0.05
         )
         assert float(s8["chi2_after"]) < float(s8["chi2_before"]) * 0.2
+
+
+class TestShardedSchur:
+    """Node-sharded exact Schur-complement solve (parallel/sharded_schur.py)
+    must match the single-device dense LM on the same graph."""
+
+    def _run(self, with_gnss):
+        from lidar_slam_tpu.parallel import optimize_pose_graph_schur, schur_prepare
+
+        builder, gt, _ = build_noisy_loop(
+            n=56, drift=0.02, seed=13, with_gnss=with_gnss,
+            max_nodes=64, max_edges=128, max_priors=64,
+        )
+        cfg = GraphOptimizerConfig(max_iterations=30, solver="dense")
+        g1, s1 = optimize_pose_graph(builder.to_graph(), cfg)
+        sg = schur_prepare(builder.to_graph(), n_devices=8, sep_cap=32)
+        g8, s8 = optimize_pose_graph_schur(sg, cfg, make_mesh(8))
+        n = builder.n_nodes
+        np.testing.assert_allclose(
+            np.asarray(g8.poses)[:n, :3, 3], np.asarray(g1.poses)[:n, :3, 3], atol=0.05
+        )
+        assert float(s8["chi2_after"]) < float(s8["chi2_before"]) * 0.2
+        # separator bookkeeping: the loop edge (55 -> 0) crosses blocks
+        assert int(np.asarray(sg.sep_valid).sum()) >= 2
+
+    def test_matches_single_device_dense(self, mesh8):
+        self._run(with_gnss=False)
+
+    def test_with_gnss_priors(self, mesh8):
+        self._run(with_gnss=True)
+
+    def test_separator_overflow_raises(self):
+        from lidar_slam_tpu.parallel import schur_prepare
+
+        builder, _, _ = build_noisy_loop(n=56, max_nodes=64, max_edges=128)
+        with pytest.raises(ValueError):
+            schur_prepare(builder.to_graph(), n_devices=8, sep_cap=2)
