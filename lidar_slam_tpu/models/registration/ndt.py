@@ -100,6 +100,8 @@ class NDTConfig:
     # one x-neighbour span (+/- dims[1]*dims[2] voxel ids) — the kernel
     # reports an `unresolved` count if it ever doesn't (checked in tests).
     fused_window: int = 2048
+    # points per fused-kernel grid step
+    fused_tile: int = 256
     weight_derivatives: bool = True
     # More-Thuente step-length iterations. 0 (default) reproduces the
     # reference's effective behaviour (its loop is dead code — see module
@@ -429,7 +431,7 @@ def _ndt_derivatives_fused(
     )  # [N, 31]
     assert rows.shape[-1] == _NROWS
 
-    tile = 256
+    tile = config.fused_tile
     n = points.shape[0]
     pad = (-n) % tile
     cell_p = jnp.pad(cell, ((0, pad), (0, 0)), constant_values=-(2**20))
