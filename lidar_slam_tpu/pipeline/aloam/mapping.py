@@ -53,6 +53,10 @@ class AloamMappingConfig:
     knn_k: int = 5
     bucket_k: int = 16
     chunk: int = 2048
+    # correspondence search backend: 'xla' | 'fused' | 'auto' (fused on TPU)
+    knn: str = "auto"
+    knn_window: int = 2048
+    knn_tile: int = 128
 
 
 def _huber_w(rnorm, delta):
@@ -81,18 +85,42 @@ def mapping_step(
     cfg: AloamMappingConfig = AloamMappingConfig(),
 ):
     """Refine T (sensor->map) against the feature maps."""
+    from .odometry import _use_fused, sort_by_cell
+
     corner_grid = build_bucket_grid(corner_map, cfg.grid_cell, cfg.grid_dims)
     surf_grid = build_bucket_grid(surf_map, cfg.grid_cell, cfg.grid_dims)
     k = cfg.knn_k
+    use_fused = _use_fused(cfg)
+
+    if use_fused:
+        T0 = jnp.asarray(T_init, jnp.float32)
+        oc = sort_by_cell(corner_grid, transform_points(T0, cur_corner.points), cur_corner.mask)
+        cur_corner = PointCloud(points=cur_corner.points[oc], mask=cur_corner.mask[oc])
+        of = sort_by_cell(surf_grid, transform_points(T0, cur_surf.points), cur_surf.mask)
+        cur_surf = PointCloud(points=cur_surf.points[of], mask=cur_surf.mask[of])
+
+    def nn5(grid_, map_, queries, qmask):
+        """(nn [N,5,3], ok [N,5]) via the configured backend."""
+        if use_fused:
+            from ...ops.pallas.knn_fused import window_knn
+            from ...ops.pallas.ndt_reduce import pallas_supported
+
+            r = window_knn(
+                grid_, queries, qmask, k=k, max_radius=cfg.nn_radius,
+                window=cfg.knn_window, tile=cfg.knn_tile,
+                interpret=not pallas_supported(),
+            )
+            return r["pts"], r["ok"]
+        idx, dist, ok = knn_query(
+            grid_, queries, k=k, max_radius=cfg.nn_radius, bucket_k=cfg.bucket_k, chunk=cfg.chunk
+        )
+        return map_.points[idx], ok
 
     def outer(T, _):
         # --- corner: line fit over 5-NN (laserMapping.cpp:571-621)
         pc = transform_points(T, cur_corner.points)
-        idx, dist, ok = knn_query(
-            corner_grid, pc, k=k, max_radius=cfg.nn_radius, bucket_k=cfg.bucket_k, chunk=cfg.chunk
-        )
+        nn, ok = nn5(corner_grid, corner_map, pc, cur_corner.mask)
         all5 = jnp.all(ok, axis=-1) & cur_corner.mask
-        nn = corner_map.points[idx]  # [N, 5, 3]
         cen = jnp.mean(nn, axis=1)
         d = nn - cen[:, None, :]
         cov = jnp.einsum("nki,nkj->nij", d, d) / k
@@ -105,11 +133,8 @@ def mapping_step(
 
         # --- surf: plane fit A n = -1 over 5-NN (:643-688)
         pf = transform_points(T, cur_surf.points)
-        idx_s, dist_s, ok_s = knn_query(
-            surf_grid, pf, k=k, max_radius=cfg.nn_radius, bucket_k=cfg.bucket_k, chunk=cfg.chunk
-        )
+        nns, ok_s = nn5(surf_grid, surf_map, pf, cur_surf.mask)
         all5_s = jnp.all(ok_s, axis=-1) & cur_surf.mask
-        nns = surf_map.points[idx_s]  # [N, 5, 3]
         AtA = jnp.einsum("nki,nkj->nij", nns, nns) + 1e-6 * jnp.eye(3)
         Atb = -jnp.sum(nns, axis=1)  # A^T * (-1 vector)
         n_raw = jnp.linalg.solve(AtA, Atb[..., None])[..., 0]  # [N, 3]

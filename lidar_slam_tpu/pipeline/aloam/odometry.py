@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...geom.se3 import se3_exp, so3_hat, transform_points
-from ...ops.hashgrid import build_bucket_grid, knn_query
+from ...ops.hashgrid import build_bucket_grid, knn_query, _flat_cell_id
 from ...ops.pointcloud import PointCloud
 from .feature_extraction import ScanFeatures
 
@@ -48,17 +48,58 @@ class AloamOdometryConfig:
     knn_k: int = 8
     bucket_k: int = 32
     chunk: int = 2048
+    # correspondence search backend: 'xla' = stencil-gather knn_query;
+    # 'fused' = Pallas window kernel (ops/pallas/knn_fused.py); 'auto' =
+    # fused on TPU, xla elsewhere
+    knn: str = "auto"
+    knn_window: int = 2048
+    knn_tile: int = 128
+
+
+def _use_fused(cfg) -> bool:
+    from ...ops.pallas.ndt_reduce import pallas_supported
+
+    return cfg.knn == "fused" or (cfg.knn == "auto" and pallas_supported())
+
+
+def _neighbour_features(grid, tgt_pts, tgt_ring, query_pts, query_mask, cfg):
+    """(cand_pts [N,k,3], cand_ring [N,k], dist [N,k], ok [N,k]) via the
+    configured backend. The fused kernel returns neighbour rows directly
+    (no post-gather) and is exact (no bucket_k truncation)."""
+    if _use_fused(cfg):
+        from ...ops.pallas.knn_fused import window_knn
+        from ...ops.pallas.ndt_reduce import pallas_supported
+
+        r = window_knn(
+            grid, query_pts, query_mask, k=cfg.knn_k,
+            max_radius=float(np.sqrt(cfg.dist_sq_threshold)), extras=tgt_ring,
+            window=cfg.knn_window, tile=cfg.knn_tile,
+            interpret=not pallas_supported(),
+        )
+        return r["pts"], r["extras"][..., 0], r["dist"], r["ok"]
+    idx, dist, ok = knn_query(
+        grid, query_pts, k=cfg.knn_k, max_radius=jnp.sqrt(cfg.dist_sq_threshold),
+        bucket_k=cfg.bucket_k, chunk=cfg.chunk,
+    )
+    return tgt_pts[idx], tgt_ring[idx], dist, ok
+
+
+def sort_by_cell(grid, points, mask):
+    """Order that sorts points by their bucket-grid cell id (masked last);
+    spatially coherent tiles keep the fused kernel's windows narrow."""
+    dims = grid.dims
+    coords = jnp.floor((points - grid.origin) / grid.cell_size).astype(jnp.int32)
+    coords = jnp.clip(coords, 0, jnp.asarray(dims, jnp.int32) - 1)
+    cid = jnp.where(mask, _flat_cell_id(coords, dims), jnp.int32(2**30))
+    return jnp.argsort(cid)
 
 
 def _corner_correspondences(grid, tgt_pts, tgt_ring, query_pts, query_mask, cfg):
     """For each query corner: (a, b, valid) — NN + best adjacent-ring point
     (laserOdometry.cpp:299-384)."""
-    idx, dist, ok = knn_query(
-        grid, query_pts, k=cfg.knn_k, max_radius=jnp.sqrt(cfg.dist_sq_threshold),
-        bucket_k=cfg.bucket_k, chunk=cfg.chunk,
+    cand_pts, cand_ring, dist, ok = _neighbour_features(
+        grid, tgt_pts, tgt_ring, query_pts, query_mask, cfg
     )
-    cand_pts = tgt_pts[idx]  # [N, k, 3]
-    cand_ring = tgt_ring[idx]  # [N, k]
     d2 = dist**2
 
     nn_ok = ok[:, 0] & (d2[:, 0] < cfg.dist_sq_threshold) & query_mask
@@ -84,12 +125,9 @@ def _corner_correspondences(grid, tgt_pts, tgt_ring, query_pts, query_mask, cfg)
 def _plane_correspondences(grid, tgt_pts, tgt_ring, query_pts, query_mask, cfg):
     """For each query flat point: (a, b, c, valid) — NN + same-ring +
     adjacent-ring points (laserOdometry.cpp:387-482)."""
-    idx, dist, ok = knn_query(
-        grid, query_pts, k=cfg.knn_k, max_radius=jnp.sqrt(cfg.dist_sq_threshold),
-        bucket_k=cfg.bucket_k, chunk=cfg.chunk,
+    cand_pts, cand_ring, dist, ok = _neighbour_features(
+        grid, tgt_pts, tgt_ring, query_pts, query_mask, cfg
     )
-    cand_pts = tgt_pts[idx]
-    cand_ring = tgt_ring[idx]
     d2 = dist**2
 
     nn_ok = ok[:, 0] & (d2[:, 0] < cfg.dist_sq_threshold) & query_mask
@@ -147,6 +185,16 @@ def odometry_step(
     """Estimate the current->previous relative transform."""
     corner_grid = build_bucket_grid(prev_sharp, cfg.grid_cell, cfg.grid_dims)
     surf_grid = build_bucket_grid(prev_flat, cfg.grid_cell, cfg.grid_dims)
+
+    if _use_fused(cfg):
+        # sort queries by target cell once at the initial estimate so the
+        # fused kernel's per-tile windows stay narrow (exactness is guarded
+        # by the kernel's unresolved count regardless)
+        T0 = jnp.asarray(T_rel_init, jnp.float32)
+        oc = sort_by_cell(corner_grid, transform_points(T0, cur_sharp.points), cur_sharp.mask)
+        cur_sharp = PointCloud(points=cur_sharp.points[oc], mask=cur_sharp.mask[oc])
+        of = sort_by_cell(surf_grid, transform_points(T0, cur_flat.points), cur_flat.mask)
+        cur_flat = PointCloud(points=cur_flat.points[of], mask=cur_flat.mask[of])
 
     def outer(T_rel, _):
         # correspondences at the current estimate (TransformToStart)
