@@ -40,7 +40,10 @@ def main():
     # the fused Pallas kernel (NDT_GATHER=two_level for the XLA path).
     stencil = os.environ.get("NDT_STENCIL", "direct7")
     gather = os.environ.get("NDT_GATHER", "fused")
-    max_compact = int(os.environ.get("NDT_MAX_COMPACT", "8192"))
+    # the fused kernel's cost is window-bound, not capacity-bound: 65536
+    # measured within 10% of 8192, and a denser scene must not silently
+    # truncate valid voxels (build_ndt_map caps at max_compact_voxels)
+    max_compact = int(os.environ.get("NDT_MAX_COMPACT", "65536"))
     max_iter = int(os.environ.get("NDT_MAX_ITER", "30"))
     cfg = NDTConfig(
         resolution=1.0, grid_dims=(256, 256, 64), point_chunk=8192, max_iter=max_iter,

@@ -38,7 +38,7 @@ def _run_mapping(args) -> int:
     else:
         fe = FrontEnd(cfg.front_end)
     be = BackEnd(cfg.back_end, store=store)
-    lc = LoopClosing(cfg.loop_closing, store=store)
+    lc = LoopClosing(cfg.loop_closing, store=store, data_path=args.out)
     viewer = Viewer(cfg.viewer, store)
 
     frames = _frame_source(args)

@@ -67,12 +67,19 @@ class PoseGraph:
     edge_info: jax.Array  # [E, 6] diagonal information (trans, rot)
     edge_valid: jax.Array  # [E] bool
     prior_node: jax.Array  # [P] int32
-    prior_xyz: jax.Array  # [P, 3]
+    prior_xyz: jax.Array  # [P, 3] XYZ measurement (prior_type 0)
     prior_info: jax.Array  # [P, 3]
     prior_valid: jax.Array  # [P] bool
+    # unary priors are typed: 0 = XYZ translation (EdgeSE3PriorXYZ,
+    # edge_se3_priorxyz.hpp:14-55), 1 = quaternion orientation
+    # (EdgeSE3PriorQuat, edge_se3_priorquat.hpp:14-60). Both have 3-dim
+    # residuals, so one shared info/assembly path serves both.
+    prior_quat: jax.Array  # [P, 4] (w, x, y, z), w >= 0 (prior_type 1)
+    prior_type: jax.Array  # [P] int32
 
     @staticmethod
     def empty(max_nodes: int, max_edges: int, max_priors: int) -> "PoseGraph":
+        ident_q = jnp.tile(jnp.asarray([1.0, 0.0, 0.0, 0.0], jnp.float32), (max_priors, 1))
         return PoseGraph(
             poses=jnp.tile(jnp.eye(4, dtype=jnp.float32), (max_nodes, 1, 1)),
             node_valid=jnp.zeros(max_nodes, bool),
@@ -85,6 +92,8 @@ class PoseGraph:
             prior_xyz=jnp.zeros((max_priors, 3), jnp.float32),
             prior_info=jnp.ones((max_priors, 3), jnp.float32),
             prior_valid=jnp.zeros(max_priors, bool),
+            prior_quat=ident_q,
+            prior_type=jnp.zeros(max_priors, jnp.int32),
         )
 
 
@@ -132,11 +141,36 @@ def _edge_residuals_jacobians(graph: PoseGraph):
 
 
 def _prior_residuals_jacobians(graph: PoseGraph):
-    """GNSS XYZ prior: r = t_i - z, J = [R_i, 0] (right perturbation).
-    Mirrors EdgeSE3PriorXYZ (edge_se3_priorxyz.hpp:14-55)."""
+    """Typed unary priors, both with 3-dim residuals.
+
+    type 0 — GNSS XYZ prior: r = t_i - z, J = [R_i, 0] (right perturbation).
+    Mirrors EdgeSE3PriorXYZ (edge_se3_priorxyz.hpp:14-55).
+
+    type 1 — orientation prior: r = vec(q(R_i)) - vec(q_meas) with both
+    quaternions sign-normalized to w >= 0, exactly EdgeSE3PriorQuat's
+    computeError (edge_se3_priorquat.hpp:20-28). Under the right perturbation
+    R <- R exp(phi^), q <- q (x) (1, phi/2), so dvec/dphi = (w I + v^)/2 —
+    the analytic form of the numeric Jacobian g2o falls back to.
+    """
     Ti = graph.poses[graph.prior_node]
-    r = Ti[:, :3, 3] - graph.prior_xyz  # [P, 3]
-    J = jnp.concatenate([Ti[:, :3, :3], jnp.zeros_like(Ti[:, :3, :3])], axis=-1)  # [P, 3, 6]
+    Ri = Ti[:, :3, :3]
+    zeros33 = jnp.zeros_like(Ri)
+
+    r_xyz = Ti[:, :3, 3] - graph.prior_xyz  # [P, 3]
+    J_xyz = jnp.concatenate([Ri, zeros33], axis=-1)  # [P, 3, 6]
+
+    from ..geom.se3 import matrix_to_quat
+
+    q = matrix_to_quat(Ri)  # [P, 4], w >= 0 by construction
+    r_quat = q[:, 1:4] - graph.prior_quat[:, 1:4]
+    w = q[:, 0]
+    eye3 = jnp.broadcast_to(jnp.eye(3, dtype=q.dtype), zeros33.shape)
+    Jq = 0.5 * (w[:, None, None] * eye3 + so3_hat(q[:, 1:4]))  # [P, 3, 3]
+    J_quat = jnp.concatenate([zeros33, Jq], axis=-1)  # [P, 3, 6]
+
+    isq = (graph.prior_type == 1)[:, None]
+    r = jnp.where(isq, r_quat, r_xyz)
+    J = jnp.where(isq[..., None], J_quat, J_xyz)
     return r, J
 
 
@@ -349,9 +383,21 @@ def optimize_pose_graph(
     return graph.replace(poses=poses), stats
 
 
+def _grow(arr: np.ndarray, fill=None) -> np.ndarray:
+    """Double an array's leading dimension (device shapes recompile once per
+    doubling — bounded log2(N) recompiles instead of a mid-run crash)."""
+    n = arr.shape[0]
+    out = np.zeros((2 * n,) + arr.shape[1:], arr.dtype)
+    out[:n] = arr
+    if fill is not None:
+        out[n:] = fill
+    return out
+
+
 class PoseGraphBuilder:
     """Host-side incremental builder mirroring the G2oGraphOptimizer API
-    (AddSe3Node / AddSe3Edge / AddSe3PriorXYZEdge / Optimize)."""
+    (AddSe3Node / AddSe3Edge / AddSe3PriorXYZEdge / AddSe3PriorQuaternionEdge
+    / Optimize). Capacities grow by doubling when exceeded."""
 
     def __init__(self, max_nodes: int = 2048, max_edges: int = 4096, max_priors: int = 2048):
         self.max_nodes = max_nodes
@@ -368,14 +414,40 @@ class PoseGraphBuilder:
         self._prior_xyz = np.zeros((max_priors, 3), np.float32)
         self._prior_info = np.ones((max_priors, 3), np.float32)
         self._prior_valid = np.zeros(max_priors, bool)
+        self._prior_quat = np.tile(np.asarray([1.0, 0, 0, 0], np.float32), (max_priors, 1))
+        self._prior_type = np.zeros(max_priors, np.int32)
         self.n_nodes = 0
         self.n_edges = 0
         self.n_priors = 0
 
+    def _ensure_node(self):
+        if self.n_nodes >= self.max_nodes:
+            self._poses = _grow(self._poses, np.eye(4, dtype=np.float32))
+            self._node_valid = _grow(self._node_valid)
+            self._node_fixed = _grow(self._node_fixed)
+            self.max_nodes *= 2
+
+    def _ensure_edge(self):
+        if self.n_edges >= self.max_edges:
+            self._edge_ij = _grow(self._edge_ij)
+            self._edge_meas = _grow(self._edge_meas, np.eye(4, dtype=np.float32))
+            self._edge_info = _grow(self._edge_info, 1.0)
+            self._edge_valid = _grow(self._edge_valid)
+            self.max_edges *= 2
+
+    def _ensure_prior(self):
+        if self.n_priors >= self.max_priors:
+            self._prior_node = _grow(self._prior_node)
+            self._prior_xyz = _grow(self._prior_xyz)
+            self._prior_info = _grow(self._prior_info, 1.0)
+            self._prior_valid = _grow(self._prior_valid)
+            self._prior_quat = _grow(self._prior_quat, np.asarray([1.0, 0, 0, 0], np.float32))
+            self._prior_type = _grow(self._prior_type)
+            self.max_priors *= 2
+
     def add_se3_node(self, pose, fixed: bool = False) -> int:
+        self._ensure_node()
         i = self.n_nodes
-        if i >= self.max_nodes:
-            raise RuntimeError("pose graph node capacity exceeded")
         self._poses[i] = np.asarray(pose, np.float32)
         self._node_valid[i] = True
         self._node_fixed[i] = fixed
@@ -385,9 +457,8 @@ class PoseGraphBuilder:
     def add_se3_edge(self, i: int, j: int, measurement, noise=None) -> None:
         """`noise` is the per-DOF sigma vector; information = 1/noise as in
         CalculateSe3EdgeInformationMatrix (g2o_graph_optimizer.cpp:142-150)."""
+        self._ensure_edge()
         e = self.n_edges
-        if e >= self.max_edges:
-            raise RuntimeError("pose graph edge capacity exceeded")
         self._edge_ij[e] = (i, j)
         self._edge_meas[e] = np.asarray(measurement, np.float32)
         if noise is not None:
@@ -396,14 +467,33 @@ class PoseGraphBuilder:
         self.n_edges += 1
 
     def add_se3_prior_xyz_edge(self, node: int, xyz, noise=None) -> None:
+        self._ensure_prior()
         p = self.n_priors
-        if p >= self.max_priors:
-            raise RuntimeError("pose graph prior capacity exceeded")
         self._prior_node[p] = node
         self._prior_xyz[p] = np.asarray(xyz, np.float32)
         if noise is not None:
             self._prior_info[p] = 1.0 / np.asarray(noise, np.float32)
         self._prior_valid[p] = True
+        self._prior_type[p] = 0
+        self.n_priors += 1
+
+    def add_se3_prior_quat_edge(self, node: int, quat_wxyz, noise=None) -> None:
+        """Orientation prior (AddSe3PriorQuaternionEdge,
+        g2o_graph_optimizer.cpp:152-174 / edge_se3_priorquat.hpp:14-60).
+        `quat_wxyz` is (w, x, y, z); sign-normalized to w >= 0 exactly as
+        setMeasurement does. `noise` is the 3-vector of residual sigmas."""
+        self._ensure_prior()
+        p = self.n_priors
+        q = np.asarray(quat_wxyz, np.float32)
+        q = q / max(np.linalg.norm(q), 1e-12)
+        if q[0] < 0.0:
+            q = -q
+        self._prior_node[p] = node
+        self._prior_quat[p] = q
+        if noise is not None:
+            self._prior_info[p] = 1.0 / np.asarray(noise, np.float32)
+        self._prior_valid[p] = True
+        self._prior_type[p] = 1
         self.n_priors += 1
 
     def to_graph(self) -> PoseGraph:
@@ -419,6 +509,8 @@ class PoseGraphBuilder:
             prior_xyz=jnp.asarray(self._prior_xyz),
             prior_info=jnp.asarray(self._prior_info),
             prior_valid=jnp.asarray(self._prior_valid),
+            prior_quat=jnp.asarray(self._prior_quat),
+            prior_type=jnp.asarray(self._prior_type),
         )
 
     def optimize(self, cfg: GraphOptimizerConfig = GraphOptimizerConfig()):

@@ -183,6 +183,12 @@ class NDTResult:
     converged: jax.Array
     gradient: jax.Array  # [6] at the solution
     hessian: jax.Array  # [6, 6] at the solution
+    # max over iterations of the fused kernel's exactness guard: > 0 means
+    # some derivative terms fell outside the key window and were dropped —
+    # widen NDTConfig.fused_window or use gather='two_level'. Always 0 on
+    # the XLA path. Production callers should check this (it is a cheap
+    # scalar); bench.py asserts it == 0 on TPU every run.
+    unresolved: jax.Array = 0.0
 
 
 def _flat_vid(coords, dims):
@@ -412,6 +418,10 @@ def _ndt_derivatives_fused(
 
     if weights is None:
         weights = jnp.ones(points.shape[:-1], jnp.float32)
+    # non-finite unmasked points are gated out entirely (the XLA path's
+    # isfinite guard); otherwise their NaN coords survive 0 * NaN in the
+    # kernel's masked accumulation
+    mask = mask & jnp.all(jnp.isfinite(points), axis=-1)
     pts = jnp.where(mask[:, None], points, 0.0)
     xp = pts @ R.T + t
     cell = jnp.floor((xp - ndt_map.origin) / res).astype(jnp.int32)  # [N, 3]
@@ -494,6 +504,7 @@ def ndt_derivatives(
     config: NDTConfig,
     compute_hessian: bool = True,
     weights=None,
+    return_unresolved: bool = False,
 ):
     """Score, gradient and Hessian of the weighted NDT objective at `pose`.
 
@@ -502,10 +513,13 @@ def ndt_derivatives(
     the materialized [chunk, 27, ...] intermediates.
 
     Returns (score, gradient [6], hessian [6, 6]); hessian is zeros when
-    compute_hessian=False.
+    compute_hessian=False. With return_unresolved=True, appends the fused
+    kernel's exactness counter (0 on the XLA paths, which are always exact).
     """
     if config.resolve_gather() == "fused":
-        return _ndt_derivatives_fused(ndt_map, points, mask, pose, config, weights)
+        return _ndt_derivatives_fused(
+            ndt_map, points, mask, pose, config, weights, return_unresolved=return_unresolved
+        )
 
     d1, d2 = config.gauss_params()
     d1 = jnp.float32(d1)
@@ -619,6 +633,8 @@ def ndt_derivatives(
         return score, grad, hess
 
     scores, grads, hesses = jax.lax.map(one_chunk, (pts_c, mask_c, w_c))
+    if return_unresolved:
+        return jnp.sum(scores), jnp.sum(grads, axis=0), jnp.sum(hesses, axis=0), jnp.float32(0.0)
     return jnp.sum(scores), jnp.sum(grads, axis=0), jnp.sum(hesses, axis=0)
 
 
@@ -711,7 +727,7 @@ def lm_align(derivs, init_pose, config: NDTConfig, n_valid_points):
     clamp (NormalDistributionsTransform.cpp:367,682-756) needs 15-25.
     """
     p0 = _matrix_to_pose(jnp.asarray(init_pose, jnp.float32))
-    score0, grad0, hess0 = derivs(p0, True)
+    score0, grad0, hess0, unres0 = derivs(p0, True)
 
     lam0 = jnp.float32(1e-4)
     lam_max = jnp.float32(1e6)
@@ -725,15 +741,15 @@ def lm_align(derivs, init_pose, config: NDTConfig, n_valid_points):
         return jnp.where(bad, 0.0, delta), bad
 
     def cond(st):
-        _, _, _, _, lam, it, converged = st
+        _, _, _, _, lam, it, converged, _ = st
         return (~converged) & (it < config.max_iter) & (lam < lam_max)
 
     def body(st):
-        p, score, grad, hess, lam, it, _ = st
+        p, score, grad, hess, lam, it, _, unres = st
         # minimize L = -score
         delta, bad = solve_damped(-hess, -grad, lam)
         p_t = p + delta
-        s_t, g_t, h_t = derivs(p_t, True)
+        s_t, g_t, h_t, u_t = derivs(p_t, True)
         accept = jnp.isfinite(s_t) & (s_t > score) & ~bad
         p_n = jnp.where(accept, p_t, p)
         s_n = jnp.where(accept, s_t, score)
@@ -744,10 +760,10 @@ def lm_align(derivs, init_pose, config: NDTConfig, n_valid_points):
         # converged only when the undamped model agrees: small step at small
         # lambda (a high-lambda tiny step is the damping, not the optimum)
         converged = accept & (step < config.trans_eps) & (lam <= 1e-2)
-        return (p_n, s_n, g_n, h_n, lam_n, it + 1, converged)
+        return (p_n, s_n, g_n, h_n, lam_n, it + 1, converged, jnp.maximum(unres, u_t))
 
-    init = (p0, score0, grad0, hess0, lam0, jnp.int32(0), jnp.bool_(False))
-    p, score, grad, hess, lam, iters, converged = jax.lax.while_loop(cond, body, init)
+    init = (p0, score0, grad0, hess0, lam0, jnp.int32(0), jnp.bool_(False), unres0)
+    p, score, grad, hess, lam, iters, converged, unres = jax.lax.while_loop(cond, body, init)
 
     n_valid = jnp.maximum(jnp.asarray(n_valid_points, jnp.float32), 1.0)
     return NDTResult(
@@ -758,6 +774,7 @@ def lm_align(derivs, init_pose, config: NDTConfig, n_valid_points):
         converged=converged,
         gradient=grad,
         hessian=hess,
+        unresolved=unres,
     )
 
 
@@ -766,10 +783,10 @@ def newton_align(derivs, init_pose, config: NDTConfig, n_valid_points):
     zero-iteration) More-Thuente step-length rule — functional port of
     computeTransformation (NormalDistributionsTransform.cpp:310-389).
 
-    `derivs(pose6, need_hessian) -> (score, grad, hess)` abstracts where the
-    reduction runs: local arrays (ndt_align) or a device mesh with psum
-    (parallel/sharded_ndt.py). With config.solver == 'lm', dispatches to
-    lm_align (same interface, different step-length policy).
+    `derivs(pose6, need_hessian) -> (score, grad, hess, unresolved)`
+    abstracts where the reduction runs: local arrays (ndt_align) or a device
+    mesh with psum (parallel/sharded_ndt.py). With config.solver == 'lm',
+    dispatches to lm_align (same interface, different step-length policy).
     """
     if config.solver == "lm":
         return lm_align(derivs, init_pose, config, n_valid_points)
@@ -779,7 +796,7 @@ def newton_align(derivs, init_pose, config: NDTConfig, n_valid_points):
     step_max = config.step_size
 
     p0 = _matrix_to_pose(jnp.asarray(init_pose, jnp.float32))
-    score0, grad0, hess0 = derivs(p0, True)
+    score0, grad0, hess0, unres0 = derivs(p0, True)
 
     def line_search(p, direction, step_init, score, grad):
         """Returns (alpha, new p, score/grad/hess at accepted point)."""
@@ -795,7 +812,7 @@ def newton_align(derivs, init_pose, config: NDTConfig, n_valid_points):
         if config.max_step_iterations > 0:
 
             def eval_phi(a):
-                s, g, _ = derivs(p + a * direction, False)
+                s, g, _, _ = derivs(p + a * direction, False)
                 return -s, -jnp.dot(g, direction)
 
             phi_t, d_phi_t = eval_phi(a_t0)
@@ -850,20 +867,20 @@ def newton_align(derivs, init_pose, config: NDTConfig, n_valid_points):
             a_t = a_t0
 
         p_new = p + a_t * direction
-        s, g, h = derivs(p_new, True)
-        return a_t, p_new, s, g, h
+        s, g, h, u = derivs(p_new, True)
+        return a_t, p_new, s, g, h, u
 
     def newton_cond(st):
-        _, _, _, _, it, converged = st
+        _, _, _, _, it, converged, _ = st
         return (~converged) & (it <= config.max_iter)
 
     def newton_body(st):
-        p, score, grad, hess, it, _ = st
+        p, score, grad, hess, it, _, unres = st
         delta = _solve_newton(hess, grad)
         dnorm = jnp.linalg.norm(delta)
         degenerate = (dnorm == 0.0) | ~jnp.isfinite(dnorm)
         direction = delta / jnp.where(degenerate, 1.0, dnorm)
-        alpha, p_new, s, g, h = line_search(p, direction, dnorm, score, grad)
+        alpha, p_new, s, g, h, u = line_search(p, direction, dnorm, score, grad)
         p_new = jnp.where(degenerate, p, p_new)
         s = jnp.where(degenerate, score, s)
         converged = degenerate | ((it >= 1) & (jnp.abs(alpha) < config.trans_eps))
@@ -872,10 +889,18 @@ def newton_align(derivs, init_pose, config: NDTConfig, n_valid_points):
                 jnp.abs(s - score) < config.score_rel_tol * jnp.maximum(jnp.abs(score), 1e-6)
             )
             converged = converged | plateau
-        return (p_new, s, jnp.where(degenerate, grad, g), jnp.where(degenerate, hess, h), it + 1, converged)
+        return (
+            p_new,
+            s,
+            jnp.where(degenerate, grad, g),
+            jnp.where(degenerate, hess, h),
+            it + 1,
+            converged,
+            jnp.maximum(unres, u),
+        )
 
-    init = (p0, score0, grad0, hess0, jnp.int32(0), jnp.bool_(False))
-    p, score, grad, hess, iters, converged = jax.lax.while_loop(newton_cond, newton_body, init)
+    init = (p0, score0, grad0, hess0, jnp.int32(0), jnp.bool_(False), unres0)
+    p, score, grad, hess, iters, converged, unres = jax.lax.while_loop(newton_cond, newton_body, init)
 
     n_valid = jnp.maximum(jnp.asarray(n_valid_points, jnp.float32), 1.0)
     return NDTResult(
@@ -886,6 +911,7 @@ def newton_align(derivs, init_pose, config: NDTConfig, n_valid_points):
         converged=converged,
         gradient=grad,
         hessian=hess,
+        unresolved=unres,
     )
 
 
@@ -902,45 +928,53 @@ def ndt_align(
     w = source.get_weights()
 
     if config.resolve_gather() == "fused":
-        # sort points by initial-pose voxel id ONCE per alignment: the fused
-        # kernel's per-tile key window needs spatially coherent tiles, and
-        # the pose moves <= step_size per iteration so the order stays
-        # coherent across the whole Newton loop
-        T0 = jnp.asarray(init_pose, jnp.float32)
-        xp0 = pts @ T0[:3, :3].T + T0[:3, 3]
-        cell0 = jnp.floor((xp0 - ndt_map.origin) / ndt_map.resolution).astype(jnp.int32)
-        cell0 = jnp.clip(cell0, 0, jnp.asarray(ndt_map.dims, jnp.int32) - 1)
-        vid0 = _flat_vid(cell0, ndt_map.dims)
-        vid0 = jnp.where(mask, vid0, jnp.int32(2**30))
-        order = jnp.argsort(vid0)
-        pts = pts[order]
-        mask = mask[order]
-        w = w[order]
+        pts, mask, w = sort_points_by_vid(ndt_map, pts, mask, w, init_pose)
 
     def derivs(pose, need_hessian):
-        return ndt_derivatives(ndt_map, pts, mask, pose, config, need_hessian, weights=w)
+        return ndt_derivatives(
+            ndt_map, pts, mask, pose, config, need_hessian, weights=w, return_unresolved=True
+        )
 
     return newton_align(derivs, init_pose, config, source.num_valid())
+
+
+def sort_points_by_vid(ndt_map: NDTMap, pts, mask, w, init_pose):
+    """Sort points by initial-pose voxel id ONCE per alignment: the fused
+    kernel's per-tile key window needs spatially coherent tiles, and the
+    pose moves <= step_size per iteration so the order stays coherent
+    across the whole Newton loop."""
+    T0 = jnp.asarray(init_pose, jnp.float32)
+    xp0 = pts @ T0[:3, :3].T + T0[:3, 3]
+    cell0 = jnp.floor((xp0 - ndt_map.origin) / ndt_map.resolution).astype(jnp.int32)
+    cell0 = jnp.clip(cell0, 0, jnp.asarray(ndt_map.dims, jnp.int32) - 1)
+    vid0 = _flat_vid(cell0, ndt_map.dims)
+    vid0 = jnp.where(mask, vid0, jnp.int32(2**30))
+    order = jnp.argsort(vid0)
+    return pts[order], mask[order], w[order]
 
 
 @partial(jax.jit, static_argnames=("config", "max_range"))
 def ndt_fitness_score(ndt_map: NDTMap, source: PointCloud, pose, config: NDTConfig, max_range: float = 4.0):
     """Mean distance from transformed source points to the nearest occupied
     voxel centroid (getFitnessScore, NormalDistributionsTransform.cpp:940-965;
-    nearest-voxel search VoxelGrid.cpp:483-543). Stencil radius covers
-    ceil(max_range / resolution) cells, capped at 2 for the TPU gather."""
+    nearest-voxel search VoxelGrid.cpp:483-543). The stencil covers the full
+    ceil(max_range / resolution) cells per axis: a centroid within max_range
+    of a point lies in a cell at most that many cells away, so every point
+    whose true nearest centroid is within max_range is counted (the round-1
+    cap at 2 cells silently dropped points with NN in (2*res, max_range])."""
     import numpy as np
 
     dims = ndt_map.dims
     res = jnp.float32(ndt_map.resolution)
-    r_cells = min(2, max(1, int(math.ceil(max_range / config.resolution))))
+    r_cells = max(1, int(math.ceil(max_range / config.resolution)))
     ax = np.arange(-r_cells, r_cells + 1)
     ox, oy, oz = np.meshgrid(ax, ax, ax, indexing="ij")
     stencil = jnp.asarray(np.stack([ox.ravel(), oy.ravel(), oz.ravel()], axis=-1), jnp.int32)
 
     T = jnp.asarray(pose, jnp.float32)
     xp = source.points @ T[:3, :3].T + T[:3, 3]
-    chunk = 4096
+    # bound the [chunk, |stencil|] gather intermediates for wide stencils
+    chunk = 4096 if stencil.shape[0] <= 128 else 1024
     n = xp.shape[0]
     pad = (-n) % chunk
     xpc = jnp.pad(xp, ((0, pad), (0, 0))).reshape(-1, chunk, 3)

@@ -66,19 +66,27 @@ def _kernel(
     d2 = dx * dx + dy * dy + dz * dz
 
     ok = (win[3:4, :] > 0.5) & (q_ref[:, 3:4] > 0.5) & (d2 <= max_r2)
-    # deterministic tie-break by window position (epsilon ~ nm^2 scale)
-    tb = jax.lax.broadcasted_iota(jnp.int32, (t, window), 1).astype(jnp.float32) * 1e-9
-    d2m = jnp.where(ok, d2, _BIG) + tb
+    d2m = jnp.where(ok, d2, _BIG)
+    # deterministic tie-break on the integer column index: exactly-tied
+    # distances (duplicate / symmetric map points) must yield a ONE-hot row,
+    # or the MXU contraction below returns the SUM of the tied feature rows.
+    # An f32 epsilon perturbation is below one ulp for d2 >~ 0.02 and fails.
+    iota = jax.lax.broadcasted_iota(jnp.int32, (t, window), 1)
+    big_i = jnp.int32(2**30)
 
     for j in range(k):
         m = jnp.min(d2m, axis=1, keepdims=True)  # [T, 1]
         found = m < _BIG
-        onehot = ((d2m == m) & found).astype(jnp.float32)  # [T, W]
+        ismin = (d2m == m) & found  # [T, W] possibly multi-hot on ties
+        jmin = jnp.min(jnp.where(ismin, iota, big_i), axis=1, keepdims=True)
+        onehot = (ismin & (iota == jmin)).astype(jnp.float32)  # [T, W] one-hot
         feats = jax.lax.dot_general(
             onehot, win, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # [T, F]
         out_ref[:, j * (f + 1) : j * (f + 1) + f] = feats
         out_ref[:, j * (f + 1) + f : (j + 1) * (f + 1)] = jnp.where(found, m, _BIG)
+        # eliminate ONLY the selected column; a second tied candidate stays
+        # available and becomes rank j+1
         d2m = jnp.where(onehot > 0.0, _BIG, d2m)
 
 

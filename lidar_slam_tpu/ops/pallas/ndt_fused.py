@@ -159,10 +159,14 @@ def _kernel(
         md = q0 * e0 + q1 * e1 + q2 * e2
         expt = jnp.exp(jnp.float32(-0.5 * d2) * md)
         exd = jnp.float32(d2) * expt
-        gate = (vvalid > 0.5) & (exd <= 1.0) & (exd >= 0.0)
+        # isfinite matches the XLA path's guard (updateDerivatives clamps
+        # d2*exp in [0, 1], cpp:494-500); zeroing expt under the gate keeps a
+        # NaN from a non-finite input point out of the 0*NaN accumulation
+        gate = (vvalid > 0.5) & (exd <= 1.0) & (exd >= 0.0) & jnp.isfinite(exd)
         if gate_radius:
             gate = gate & (e0 * e0 + e1 * e1 + e2 * e2 <= res2)
         gf = gate.astype(jnp.float32)
+        expt = jnp.where(gate, expt, 0.0)
 
         # score term: gf * sv * pw * (-d1) * expt  (updateDerivatives,
         # NormalDistributionsTransform.cpp:436-441 with the voxel weight)

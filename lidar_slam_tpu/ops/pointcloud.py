@@ -47,6 +47,14 @@ class PointCloud:
             return jnp.ones(self.points.shape[:-1], dtype=self.points.dtype)
         return self.weights
 
+    def permute(self, order) -> "PointCloud":
+        """Reorder all channels (incl. weights) by an index array."""
+        return PointCloud(
+            points=self.points[order],
+            mask=self.mask[order],
+            weights=None if self.weights is None else self.weights[order],
+        )
+
     @staticmethod
     def from_points(points, weights=None, capacity: Optional[int] = None):
         points = jnp.asarray(points, jnp.float32)

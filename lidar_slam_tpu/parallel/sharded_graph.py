@@ -51,6 +51,8 @@ def optimize_pose_graph_sharded(
         prior_xyz=P(axis),
         prior_info=P(axis),
         prior_valid=P(axis),
+        prior_quat=P(axis),
+        prior_type=P(axis),
     )
 
     @partial(

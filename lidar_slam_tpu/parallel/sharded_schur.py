@@ -147,6 +147,8 @@ def schur_prepare(graph: PoseGraph, n_devices: int, sep_cap: int = 256) -> Schur
         prior_xyz=graph.prior_xyz[porder],
         prior_info=graph.prior_info[porder],
         prior_valid=graph.prior_valid[porder],
+        prior_quat=graph.prior_quat[porder],
+        prior_type=graph.prior_type[porder],
     )
     return SchurGraph(
         graph=g,
@@ -183,6 +185,8 @@ def optimize_pose_graph_schur(
         prior_xyz=P(axis),
         prior_info=P(axis),
         prior_valid=P(axis),
+        prior_quat=P(axis),
+        prior_type=P(axis),
     )
 
     @partial(

@@ -95,9 +95,9 @@ def mapping_step(
     if use_fused:
         T0 = jnp.asarray(T_init, jnp.float32)
         oc = sort_by_cell(corner_grid, transform_points(T0, cur_corner.points), cur_corner.mask)
-        cur_corner = PointCloud(points=cur_corner.points[oc], mask=cur_corner.mask[oc])
+        cur_corner = cur_corner.permute(oc)
         of = sort_by_cell(surf_grid, transform_points(T0, cur_surf.points), cur_surf.mask)
-        cur_surf = PointCloud(points=cur_surf.points[of], mask=cur_surf.mask[of])
+        cur_surf = cur_surf.permute(of)
 
     def nn5(grid_, map_, queries, qmask):
         """(nn [N,5,3], ok [N,5]) via the configured backend."""

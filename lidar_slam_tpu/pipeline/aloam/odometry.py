@@ -192,9 +192,9 @@ def odometry_step(
         # by the kernel's unresolved count regardless)
         T0 = jnp.asarray(T_rel_init, jnp.float32)
         oc = sort_by_cell(corner_grid, transform_points(T0, cur_sharp.points), cur_sharp.mask)
-        cur_sharp = PointCloud(points=cur_sharp.points[oc], mask=cur_sharp.mask[oc])
+        cur_sharp = cur_sharp.permute(oc)
         of = sort_by_cell(surf_grid, transform_points(T0, cur_flat.points), cur_flat.mask)
-        cur_flat = PointCloud(points=cur_flat.points[of], mask=cur_flat.mask[of])
+        cur_flat = cur_flat.permute(of)
 
     def outer(T_rel, _):
         # correspondences at the current estimate (TransformToStart)

@@ -40,6 +40,11 @@ class BackEndConfig:
     max_edges: int = 4096
     max_priors: int = 2048
     optimizer: GraphOptimizerConfig = GraphOptimizerConfig(max_iterations=100)
+    # keyframe clouds are stored voxel-downsampled: loop-closure verification
+    # and map assembly re-filter anyway, and storing raw ~120k-point scans
+    # grows disk + verify cost with raw scan size. 0 disables (store raw).
+    store_leaf: float = 0.5
+    store_capacity: int = 32768
 
 
 @dataclasses.dataclass
@@ -84,6 +89,10 @@ class BackEnd:
 
         i = len(self.key_frames) - 1
         if self.store is not None and cloud_points is not None:
+            if self.cfg.store_leaf > 0:
+                cloud_points, cloud_mask, cloud_weights = self._downsample_for_store(
+                    cloud_points, cloud_mask, cloud_weights
+                )
             self.store.save(i, cloud_points, cloud_mask, odom_pose, cloud_weights, time)
 
         # AddNodeAndEdge (back_end.cpp:212-245)
@@ -127,6 +136,32 @@ class BackEnd:
         return self.key_frames[-1] if self.key_frames else None
 
     # -- internals ----------------------------------------------------------
+    def _downsample_for_store(self, points, mask, weights):
+        """Voxel-filter a keyframe cloud before persisting it. Padded to a
+        fixed raw capacity so the jitted downsample compiles once."""
+        import jax.numpy as jnp
+
+        from ..ops.pointcloud import PointCloud, voxel_downsample
+
+        cap = 131072
+        pts = np.zeros((cap, 3), np.float32)
+        msk = np.zeros(cap, bool)
+        n = min(len(points), cap)
+        pts[:n] = np.asarray(points, np.float32)[:n]
+        msk[:n] = True if mask is None else np.asarray(mask, bool)[:n]
+        w = None
+        if weights is not None:
+            w = np.zeros(cap, np.float32)
+            w[:n] = np.asarray(weights, np.float32)[:n]
+            w = jnp.asarray(w)
+        cloud = PointCloud(points=jnp.asarray(pts), mask=jnp.asarray(msk), weights=w)
+        out = voxel_downsample(cloud, self.cfg.store_leaf, out_capacity=self.cfg.store_capacity)
+        return (
+            np.asarray(out.points),
+            np.asarray(out.mask),
+            None if out.weights is None else np.asarray(out.weights),
+        )
+
     def _maybe_new_keyframe(self, pose, time) -> bool:
         if self._last_key_pose is None:
             new = True

@@ -255,6 +255,13 @@ class FrontEnd:
             coarse = ndt_align(self.coarse_ndt_map, frame, guess, self._coarse_cfg())
             guess = coarse.pose
         result = ndt_align(self.ndt_map, frame, guess, cfg.ndt)
+        # fused-kernel exactness guard: if any derivative terms fell outside
+        # the key window (never observed at the production operating point),
+        # redo the frame on the always-exact XLA path rather than silently
+        # dropping terms (see NDTConfig.fused_window / NDTResult.unresolved)
+        if cfg.ndt.resolve_gather() == "fused" and float(result.unresolved) > 0:
+            exact_cfg = dataclasses.replace(cfg.ndt, gather="two_level")
+            result = ndt_align(self.ndt_map, frame, guess, exact_cfg)
         pose = np.asarray(result.pose)
         step = np.linalg.inv(self.last_pose) @ pose
         self.predict_pose = (pose @ step).astype(np.float32)

@@ -54,10 +54,11 @@ class LoopPose:
     index0: int
     index1: int
     relative_pose: np.ndarray  # pose of kf index1 expressed against index0's map pose
+    fitness: float = 0.0  # NDT fitness at acceptance (loop_closing.cpp:253)
 
 
 class LoopClosing:
-    def __init__(self, config: LoopClosingConfig, store: KeyframeStore):
+    def __init__(self, config: LoopClosingConfig, store: KeyframeStore, data_path: Optional[str] = None):
         self.cfg = config
         self.store = store
         self.sc = SCManager(config.sc)
@@ -66,6 +67,15 @@ class LoopClosing:
         self._skip_cnt = 0
         self._skip_num = config.loop_step
         self.detected: List[LoopPose] = []
+        # loop-event log, the reference's slam_data/loop_pose_<method>.txt
+        # (loop_closing.cpp:66-67 opens it; :263-266 appends per accepted loop)
+        self._log_path = None
+        if data_path is not None:
+            import os
+
+            os.makedirs(data_path, exist_ok=True)
+            self._log_path = os.path.join(data_path, f"loop_pose_{config.loop_method}.txt")
+            open(self._log_path, "w").close()
 
     def update(self, kf_index: int, kf_pose, gnss_position=None) -> Optional[LoopPose]:
         """Called once per new keyframe (LoopClosing::Update,
@@ -98,6 +108,12 @@ class LoopClosing:
         loop = self._verify(cand, kf_index, yaw)
         if loop is not None:
             self.detected.append(loop)
+            if self._log_path is not None:
+                with open(self._log_path, "a") as f:
+                    f.write(
+                        f"loop {len(self.detected)}: frame {loop.index0} ------> "
+                        f"frame {loop.index1}\nfitness score: {loop.fitness:.6f}\n\n"
+                    )
         return loop
 
     # -- detectors ----------------------------------------------------------
@@ -143,7 +159,13 @@ class LoopClosing:
             pts_list.append(p @ T[:3, :3].T + T[:3, 3])
             mask_list.append(np.ones(len(p), bool))
         sub = np.concatenate(pts_list)
-        submap = PointCloud.from_points(sub[: cfg.submap_capacity], capacity=cfg.submap_capacity)
+        # voxel-downsample FIRST, then bound to submap_capacity: truncating
+        # the raw concatenation would drop tail keyframes wholesale instead
+        # of thinning the whole submap. Raw capacity is bucketed to bound jit
+        # recompiles across differently-sized submaps.
+        bucket = 65536
+        raw_cap = max(cfg.submap_capacity, ((len(sub) + bucket - 1) // bucket) * bucket)
+        submap = PointCloud.from_points(sub, capacity=raw_cap)
         submap = voxel_downsample(submap, cfg.map_filter_leaf, out_capacity=cfg.submap_capacity)
         ndt_map = build_ndt_map(submap, cfg.ndt)
 
@@ -166,4 +188,6 @@ class LoopClosing:
         if fitness > cfg.fitness_score_limit:
             return None
         rel = np.linalg.inv(self.key_poses[index0]) @ np.asarray(result.pose)
-        return LoopPose(index0=index0, index1=index1, relative_pose=rel.astype(np.float32))
+        return LoopPose(
+            index0=index0, index1=index1, relative_pose=rel.astype(np.float32), fitness=fitness
+        )

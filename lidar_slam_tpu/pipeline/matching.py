@@ -46,6 +46,11 @@ class MatchingConfig:
     init_mode: str = "full_pose"  # 'full_pose' | 'only_position'
     # coarse-to-fine matching (see FrontEndConfig.coarse_to_fine)
     coarse_to_fine: bool = True
+    # GPF ground removal before matching: the reference's matching_flow
+    # subscribes /points_noground_synced (matching_flow.cpp:14), i.e. the
+    # localization front end consumes the GroundPlaneFit node's no-ground
+    # cloud. Off by default to match the map-building pipeline's input.
+    use_ground_seg: bool = False
 
 
 @partial(jax.jit, static_argnames=("dim", "cell"))
@@ -210,6 +215,13 @@ class Matching:
         msk_fixed[:n] = mask[:n]
         pj = jnp.asarray(pts_fixed)
         mj = jnp.asarray(msk_fixed) & finite_mask(pj)
+        if cfg.use_ground_seg:
+            from ..models.ground_seg import GroundSegConfig, segment_ground
+
+            _, nonground = segment_ground(
+                PointCloud(points=jnp.where(mj[:, None], pj, 0.0), mask=mj), GroundSegConfig()
+            )
+            mj = mj & nonground
         frame = voxel_downsample(
             PointCloud(points=jnp.where(mj[:, None], pj, 0.0), mask=mj),
             cfg.frame_leaf,

@@ -101,3 +101,66 @@ class TestPoseGraph:
         err_plain = np.linalg.norm(np.asarray(g_plain.poses)[:n, :3, 3] - gt[:, :3, 3], axis=1).mean()
         err_huber = np.linalg.norm(np.asarray(g_huber.poses)[:n, :3, 3] - gt[:, :3, 3], axis=1).mean()
         assert err_huber <= err_plain
+
+
+class TestQuatPrior:
+    def test_quat_prior_jacobian_matches_finite_difference(self):
+        """Analytic dvec(q)/dphi vs central differences on a random pose."""
+        from lidar_slam_tpu.geom.se3 import matrix_to_quat
+        from lidar_slam_tpu.models.graph_optimizer import _prior_residuals_jacobians
+
+        rng = np.random.default_rng(3)
+        xi = rng.normal(0, 0.5, 6).astype(np.float32)
+        T = np.asarray(se3_exp(jnp.asarray(xi)))
+        builder = PoseGraphBuilder(4, 4, 4)
+        builder.add_se3_node(T)
+        q_meas = np.asarray(matrix_to_quat(jnp.asarray(T[:3, :3] @ T[:3, :3])))
+        builder.add_se3_prior_quat_edge(0, q_meas, noise=[0.1, 0.1, 0.1])
+        g = builder.to_graph()
+        r, J = _prior_residuals_jacobians(g)
+        r0 = np.asarray(r)[0]
+        J0 = np.asarray(J)[0]  # [3, 6]
+        eps = 1e-4
+        for a in range(6):
+            dp = np.zeros(6, np.float32)
+            dp[a] = eps
+            Tp = T @ np.asarray(se3_exp(jnp.asarray(dp)))
+            Tm = T @ np.asarray(se3_exp(jnp.asarray(-dp)))
+            rp, _ = _prior_residuals_jacobians(g.replace(poses=jnp.asarray(Tp)[None]))
+            rm, _ = _prior_residuals_jacobians(g.replace(poses=jnp.asarray(Tm)[None]))
+            fd = (np.asarray(rp)[0] - np.asarray(rm)[0]) / (2 * eps)
+            np.testing.assert_allclose(J0[:, a], fd, atol=2e-3)
+
+    def test_quat_priors_pin_orientation(self):
+        """With only odometry + orientation priors, the absolute yaw drift
+        at the loop end shrinks (EdgeSE3PriorQuat semantics)."""
+        from lidar_slam_tpu.geom.se3 import matrix_to_quat
+
+        builder, gt, est0 = build_noisy_loop(n=20, drift=0.03, with_loop=False, with_gnss=True)
+        for i in range(0, 20, 2):
+            q = np.asarray(matrix_to_quat(jnp.asarray(gt[i][:3, :3])))
+            builder.add_se3_prior_quat_edge(i, q, noise=[0.05, 0.05, 0.05])
+        g, stats = optimize_pose_graph(builder.to_graph(), GraphOptimizerConfig())
+        poses = np.asarray(g.poses)
+        rot_err_before = []
+        rot_err_after = []
+        for i in range(20):
+            def angerr(R):
+                c = (np.trace(gt[i][:3, :3].T @ R) - 1) / 2
+                return np.arccos(np.clip(c, -1, 1))
+            rot_err_before.append(angerr(est0[i][:3, :3]))
+            rot_err_after.append(angerr(poses[i][:3, :3]))
+        assert np.mean(rot_err_after) < 0.5 * np.mean(rot_err_before) + 1e-4
+
+    def test_builder_grows_past_initial_capacity(self):
+        builder = PoseGraphBuilder(max_nodes=4, max_edges=4, max_priors=2)
+        T = np.eye(4, dtype=np.float32)
+        for i in range(10):
+            builder.add_se3_node(T, fixed=(i == 0))
+        for i in range(9):
+            builder.add_se3_edge(i, i + 1, T, noise=[1, 1, 1, 1, 1, 1])
+        for i in range(5):
+            builder.add_se3_prior_xyz_edge(i, T[:3, 3], noise=[1, 1, 1])
+        assert builder.max_nodes >= 10 and builder.max_edges >= 9 and builder.max_priors >= 5
+        g, stats = optimize_pose_graph(builder.to_graph(), GraphOptimizerConfig())
+        assert float(stats["chi2_after"]) < 1e-6

@@ -39,7 +39,8 @@ class TestShardedNDT:
         m, src = self._setup()
         pose = jnp.asarray([0.1, -0.05, 0.02, 0.01, 0.0, -0.02])
         s1, g1, h1 = ndt_derivatives(m, src.points, src.mask, pose, CFG, True)
-        s8, g8, h8 = sharded_ndt_derivatives(m, src, pose, CFG, mesh8)
+        s8, g8, h8, u8 = sharded_ndt_derivatives(m, src, pose, CFG, mesh8)
+        assert float(u8) == 0.0
         np.testing.assert_allclose(float(s8), float(s1), rtol=1e-4)
         np.testing.assert_allclose(np.asarray(g8), np.asarray(g1), rtol=1e-3, atol=1e-4)
         np.testing.assert_allclose(np.asarray(h8), np.asarray(h1), rtol=1e-3, atol=1e-3)
