@@ -56,6 +56,7 @@ def _run_mapping(args) -> int:
             pose,
             time=frame.get("time", i * 0.1),
             gnss_position=gnss,
+            gnss_pose=frame.get("gnss_pose"),
             cloud_points=pts[: len(pts)],
             cloud_mask=np.ones(len(pts), bool),
         )

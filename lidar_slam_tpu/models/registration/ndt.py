@@ -187,7 +187,9 @@ class NDTResult:
     # some derivative terms fell outside the key window and were dropped —
     # widen NDTConfig.fused_window or use gather='two_level'. Always 0 on
     # the XLA path. Production callers should check this (it is a cheap
-    # scalar); bench.py asserts it == 0 on TPU every run.
+    # scalar): the front end falls back to the exact XLA path when it fires
+    # (pipeline/front_end.py), and bench.py asserts unresolved == 0 across
+    # all fused frames before printing its result.
     unresolved: jax.Array = 0.0
 
 
@@ -195,46 +197,205 @@ def _flat_vid(coords, dims):
     return (coords[..., 0] * dims[1] + coords[..., 1]) * dims[2] + coords[..., 2]
 
 
+@flax.struct.dataclass
+class NDTMapSums:
+    """Running per-voxel moment sums — the incremental form of the NDT map.
+
+    TPU-native equivalent of the reference's incremental VoxelGrid::update
+    (VoxelGrid.cpp:545-809): instead of growing boundaries and re-indexing a
+    pointer-based voxel list, we keep dense per-voxel running sums on a fixed
+    lattice and support three O(V)-elementwise operations:
+
+      scatter_to_sums(sums, pts, sign=+1/-1)  add / evict a cloud
+      recenter_ndt_sums(sums, new_origin)     shift the window (roll + zero)
+      finalize_ndt_sums(sums, config)         conditioned Gaussians -> NDTMap
+
+    Second moments are accumulated relative to each point's OWN voxel corner
+    (coords in [0, res)), so float32 sums never exceed ~res^2 * count: no
+    catastrophic cancellation for maps far from the world origin, and the
+    sums are completely independent of `origin` (the corner lattice is
+    absolute), which makes recentering an exact integer roll.
+
+    Voxel assignment is computed on the ABSOLUTE lattice (floor(p / res) -
+    origin/res) rather than floor((p - origin) / res): the two agree in
+    exact arithmetic for lattice-multiple origins, but only the former
+    guarantees a point scatters to the same voxel on add and on evict after
+    the window recentred in between (float rounding at cell boundaries).
+    `origin` must be (and is, at every internal call site) a multiple of
+    `resolution`.
+    """
+
+    origin: jax.Array  # [3] grid min corner; always a multiple of resolution
+    count: jax.Array  # [V] float32 points per voxel (exact integers)
+    psum: jax.Array  # [V, 3] sum of (p - voxel corner)
+    ppsum: jax.Array  # [V, 6] sym sum of outer((p - corner)): xx, xy, xz, yy, yz, zz
+    wsum: jax.Array  # [V] sum of static weights
+    dims: Tuple[int, int, int] = flax.struct.field(pytree_node=False)
+    resolution: float = flax.struct.field(pytree_node=False, default=1.0)
+
+
+def empty_ndt_sums(origin, config: NDTConfig) -> NDTMapSums:
+    dims = config.grid_dims
+    v = dims[0] * dims[1] * dims[2]
+    return NDTMapSums(
+        origin=jnp.asarray(origin, jnp.float32),
+        count=jnp.zeros((v,), jnp.float32),
+        psum=jnp.zeros((v, 3), jnp.float32),
+        ppsum=jnp.zeros((v, 6), jnp.float32),
+        wsum=jnp.zeros((v,), jnp.float32),
+        dims=dims,
+        resolution=config.resolution,
+    )
+
+
+def scatter_to_sums(sums: NDTMapSums, points, mask, weights=None, sign: float = 1.0) -> NDTMapSums:
+    """Accumulate (sign=+1) or remove (sign=-1) a cloud's voxel moments.
+
+    Eviction with sign=-1 is exact for `count` (integer adds in float32) and
+    reproducible to float32 rounding for the moment sums; out-of-bounds
+    points are skipped symmetrically on add and evict, so a window that
+    recentres between add and evict stays consistent (dropped cells were
+    zeroed by the roll; their points are out of bounds at evict time).
+    """
+    dims = sums.dims
+    v = dims[0] * dims[1] * dims[2]
+    res = jnp.float32(sums.resolution)
+    pts = points
+    if weights is None:
+        weights = jnp.ones(pts.shape[:-1], jnp.float32)
+
+    finite = jnp.all(jnp.isfinite(pts), axis=-1)
+    safe_pts = jnp.where(finite[:, None], pts, 0.0)
+    # absolute-lattice cell, then shift by the (integer) origin cell — see
+    # class docstring for why this is not floor((p - origin) / res)
+    cell_abs = jnp.floor(safe_pts / res).astype(jnp.int32)
+    origin_cells = jnp.round(sums.origin / res).astype(jnp.int32)
+    coords = cell_abs - origin_cells
+    inb = jnp.all((coords >= 0) & (coords < jnp.asarray(dims, jnp.int32)), axis=-1)
+    ok = mask & inb & finite
+    vid = jnp.where(ok, _flat_vid(coords, dims), 0)
+    okf = ok.astype(jnp.float32) * jnp.float32(sign)
+
+    # voxel-corner-relative coordinates in [0, res)
+    rel = safe_pts - cell_abs.astype(jnp.float32) * res
+    rel = jnp.where(ok[:, None], rel, 0.0)
+    rx, ry, rz = rel[:, 0], rel[:, 1], rel[:, 2]
+    outer6 = jnp.stack([rx * rx, rx * ry, rx * rz, ry * ry, ry * rz, rz * rz], axis=-1)
+
+    return sums.replace(
+        count=sums.count + jax.ops.segment_sum(okf, vid, num_segments=v),
+        psum=sums.psum + jax.ops.segment_sum(rel * okf[:, None], vid, num_segments=v),
+        ppsum=sums.ppsum + jax.ops.segment_sum(outer6 * okf[:, None], vid, num_segments=v),
+        wsum=sums.wsum + jax.ops.segment_sum(weights * okf, vid, num_segments=v),
+    )
+
+
+def recenter_ndt_sums(sums: NDTMapSums, new_origin) -> NDTMapSums:
+    """Shift the window to a new origin (a lattice multiple): roll the dense
+    arrays by the integer cell offset and zero the cells that wrapped — the
+    TPU equivalent of VoxelGrid::updateBoundaries (VoxelGrid.cpp:604-700).
+    Works under jit with a traced new_origin (dynamic roll + iota masks)."""
+    dims = sums.dims
+    res = jnp.float32(sums.resolution)
+    new_origin = jnp.asarray(new_origin, jnp.float32)
+    shift = jnp.round((new_origin - sums.origin) / res).astype(jnp.int32)  # [3]
+
+    # new[i] = old[i + shift]; valid where 0 <= i + shift < dims
+    masks = []
+    for ax in range(3):
+        ix = jnp.arange(dims[ax], dtype=jnp.int32)
+        masks.append((ix + shift[ax] >= 0) & (ix + shift[ax] < dims[ax]))
+    keep = (masks[0][:, None, None] & masks[1][None, :, None] & masks[2][None, None, :])
+
+    def shift_dense(a):
+        g = a.reshape(dims[0], dims[1], dims[2], -1)
+        g = jnp.roll(g, (-shift[0], -shift[1], -shift[2]), axis=(0, 1, 2))
+        g = jnp.where(keep[..., None], g, 0.0)
+        return g.reshape(a.shape)
+
+    return sums.replace(
+        origin=new_origin,
+        count=shift_dense(sums.count),
+        psum=shift_dense(sums.psum),
+        ppsum=shift_dense(sums.ppsum),
+        wsum=shift_dense(sums.wsum),
+    )
+
+
+def finalize_ndt_sums(sums: NDTMapSums, config: NDTConfig) -> NDTMap:
+    """Condition the running sums into an NDTMap (centroid + clamped-inverse
+    covariance + compact packed table) — the second half of
+    VoxelGrid::computeCentroidAndCovariance (VoxelGrid.cpp:272-325)."""
+    dims = sums.dims
+    v = dims[0] * dims[1] * dims[2]
+    res = jnp.float32(sums.resolution)
+    # guard against float residue after add/evict cycles: a voxel is only a
+    # Gaussian with >= min_points_per_voxel anyway, and count is exact for
+    # true integer contents
+    count = jnp.maximum(sums.count, 0.0)
+    count = jnp.where(count < 0.5, 0.0, count)
+
+    n = jnp.maximum(count, 1.0)
+    rel_mean = sums.psum / n[:, None]
+    # absolute voxel corner from the flat id (absolute-lattice convention,
+    # matching scatter_to_sums: corner = (origin_cell + local_cell) * res)
+    idx = jnp.arange(v, dtype=jnp.int32)
+    cz = idx % dims[2]
+    cy = (idx // dims[2]) % dims[1]
+    cx = idx // (dims[1] * dims[2])
+    origin_cells = jnp.round(sums.origin / res).astype(jnp.int32)
+    corner = (
+        origin_cells[None, :] + jnp.stack([cx, cy, cz], axis=-1)
+    ).astype(jnp.float32) * res
+    mean = corner + rel_mean
+    staticvalue = sums.wsum / n
+    # cov = (sum rr^T / n - mu_rel mu_rel^T) * (n-1)/n  (VoxelGrid.cpp:292-295)
+    pp = sums.ppsum / n[:, None]
+    cov = jnp.stack(
+        [
+            pp[:, 0] - rel_mean[:, 0] * rel_mean[:, 0],
+            pp[:, 1] - rel_mean[:, 0] * rel_mean[:, 1],
+            pp[:, 2] - rel_mean[:, 0] * rel_mean[:, 2],
+            pp[:, 1] - rel_mean[:, 0] * rel_mean[:, 1],
+            pp[:, 3] - rel_mean[:, 1] * rel_mean[:, 1],
+            pp[:, 4] - rel_mean[:, 1] * rel_mean[:, 2],
+            pp[:, 2] - rel_mean[:, 0] * rel_mean[:, 2],
+            pp[:, 4] - rel_mean[:, 1] * rel_mean[:, 2],
+            pp[:, 5] - rel_mean[:, 2] * rel_mean[:, 2],
+        ],
+        axis=-1,
+    ).reshape(-1, 3, 3)
+    cov = cov * ((n - 1.0) / n)[:, None, None]
+
+    return _condition_and_pack(sums.origin, count, mean, cov, staticvalue, dims, config)
+
+
 def build_ndt_map(cloud: PointCloud, config: NDTConfig, origin=None) -> NDTMap:
     """Scatter a target cloud into per-voxel Gaussians.
 
     Equivalent of VoxelGrid::setInput -> scatterPointsToVoxelGrid ->
     computeCentroidAndCovariance (VoxelGrid.cpp:244-325), fully vectorized.
-    Points outside origin + dims*resolution are dropped.
+    Points outside origin + dims*resolution are dropped. Implemented as
+    empty sums + one scatter + finalize, so an incrementally-maintained
+    NDTMapSums (see scatter_to_sums) yields bit-comparable maps.
     """
-    dims = config.grid_dims
-    v = dims[0] * dims[1] * dims[2]
     res = jnp.float32(config.resolution)
     pts = cloud.points
     mask = cloud.mask
-    w = cloud.get_weights()
 
     if origin is None:
         big = jnp.float32(1e9)
         mn = jnp.min(jnp.where(mask[:, None], pts, big), axis=0)
         # snap to the voxel lattice with one cell of margin
         origin = jnp.floor(mn / res - 1.0) * res
-    origin = jnp.asarray(origin, jnp.float32)
 
-    coords = jnp.floor((pts - origin) / res).astype(jnp.int32)
-    inb = jnp.all((coords >= 0) & (coords < jnp.asarray(dims, jnp.int32)), axis=-1)
-    ok = mask & inb
-    vid = jnp.where(ok, _flat_vid(coords, dims), 0)
-    okf = ok.astype(jnp.float32)
+    sums = empty_ndt_sums(origin, config)
+    sums = scatter_to_sums(sums, pts, mask, cloud.get_weights())
+    return finalize_ndt_sums(sums, config)
 
-    count = jax.ops.segment_sum(okf, vid, num_segments=v)
-    psum = jax.ops.segment_sum(pts * okf[:, None], vid, num_segments=v)
-    outer = pts[:, :, None] * pts[:, None, :]
-    ppsum = jax.ops.segment_sum(outer.reshape(-1, 9) * okf[:, None], vid, num_segments=v)
-    wsum = jax.ops.segment_sum(w * okf, vid, num_segments=v)
 
-    n = jnp.maximum(count, 1.0)
-    mean = psum / n[:, None]
-    staticvalue = wsum / n
-    # cov = (sum pp^T / n - mu mu^T) * (n-1)/n  (VoxelGrid.cpp:292-295)
-    cov = ppsum.reshape(-1, 3, 3) / n[:, None, None] - mean[:, :, None] * mean[:, None, :]
-    cov = cov * ((n - 1.0) / n)[:, None, None]
-
+def _condition_and_pack(origin, count, mean, cov, staticvalue, dims, config: NDTConfig) -> NDTMap:
+    v = dims[0] * dims[1] * dims[2]
     evals, evecs = sym_eigh3(cov)
     enough = count >= float(config.min_points_per_voxel)
     # Reference marks voxels with negative / zero eigenvalues degenerate
@@ -957,24 +1118,29 @@ def sort_points_by_vid(ndt_map: NDTMap, pts, mask, w, init_pose):
 def ndt_fitness_score(ndt_map: NDTMap, source: PointCloud, pose, config: NDTConfig, max_range: float = 4.0):
     """Mean distance from transformed source points to the nearest occupied
     voxel centroid (getFitnessScore, NormalDistributionsTransform.cpp:940-965;
-    nearest-voxel search VoxelGrid.cpp:483-543). The stencil covers the full
+    nearest-voxel search VoxelGrid.cpp:483-543). The stencil covers
     ceil(max_range / resolution) cells per axis: a centroid within max_range
     of a point lies in a cell at most that many cells away, so every point
     whose true nearest centroid is within max_range is counted (the round-1
-    cap at 2 cells silently dropped points with NN in (2*res, max_range])."""
+    cap at 2 cells silently dropped points with NN in (2*res, max_range]).
+    The radius is bounded at 8 cells (17^3 offsets) to keep the gather
+    intermediates from growing cubically at fine resolutions; beyond that
+    the effective max_range saturates at 8 * resolution (points with no
+    centroid inside it are excluded, exactly like points beyond max_range)."""
     import numpy as np
 
     dims = ndt_map.dims
     res = jnp.float32(ndt_map.resolution)
-    r_cells = max(1, int(math.ceil(max_range / config.resolution)))
+    r_cells = max(1, min(8, int(math.ceil(max_range / config.resolution))))
     ax = np.arange(-r_cells, r_cells + 1)
     ox, oy, oz = np.meshgrid(ax, ax, ax, indexing="ij")
     stencil = jnp.asarray(np.stack([ox.ravel(), oy.ravel(), oz.ravel()], axis=-1), jnp.int32)
 
     T = jnp.asarray(pose, jnp.float32)
     xp = source.points @ T[:3, :3].T + T[:3, 3]
-    # bound the [chunk, |stencil|] gather intermediates for wide stencils
-    chunk = 4096 if stencil.shape[0] <= 128 else 1024
+    # bound the [chunk, |stencil|] gather intermediates for wide stencils:
+    # target ~4M elements per chunk regardless of stencil volume
+    chunk = int(max(512, min(4096, (1 << 22) // int(stencil.shape[0]))))
     n = xp.shape[0]
     pad = (-n) % chunk
     xpc = jnp.pad(xp, ((0, pad), (0, 0))).reshape(-1, chunk, 3)

@@ -143,7 +143,17 @@ class SCManager:
 
     def add(self, points, mask) -> np.ndarray:
         if self.count >= self.capacity:
-            raise RuntimeError("scan-context capacity exceeded")
+            # grow by doubling (like PoseGraphBuilder): unbounded mapping runs
+            # must not hard-fail; the retrieval kernel retraces once per
+            # doubling, which amortizes to nothing
+            new_cap = self.capacity * 2
+            self.descs = np.concatenate(
+                [self.descs, np.zeros_like(self.descs)], axis=0
+            )
+            self.ring_keys = np.concatenate(
+                [self.ring_keys, np.zeros_like(self.ring_keys)], axis=0
+            )
+            self.capacity = new_cap
         desc = make_scancontext(jnp.asarray(points), jnp.asarray(mask), self.cfg)
         self.descs[self.count] = np.asarray(desc)
         self.ring_keys[self.count] = np.asarray(ring_key(desc))

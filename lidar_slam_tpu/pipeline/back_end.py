@@ -69,6 +69,12 @@ class BackEnd:
         self._new_loop_cnt = 0
         self._has_new_optimized = False
         self.last_stats: Optional[dict] = None
+        # odom-frame -> map(GNSS)-frame re-anchor, set on the first update
+        # that carries GNSS (UpdateBackEnd, back_end_flow.cpp:128-141): the
+        # laser odometry starts at identity while GNSS priors live in the ENU
+        # map frame; without this constant transform the priors fight the
+        # odometry edges and the optimizer twists rotations to compromise.
+        self._odom_to_map: Optional[np.ndarray] = None
 
     # -- reference API ------------------------------------------------------
     def update(
@@ -76,14 +82,30 @@ class BackEnd:
         odom_pose,
         time: float = 0.0,
         gnss_position=None,
+        gnss_pose=None,
         cloud_points=None,
         cloud_mask=None,
         cloud_weights=None,
     ) -> bool:
         """Process one synced (cloud, laser odom [, gnss]) tuple. Returns
         True iff a new keyframe was created (BackEnd::Update,
-        back_end.cpp:107-124)."""
+        back_end.cpp:107-124).
+
+        `gnss_pose` [4,4] (full GNSS/IMU pose) enables the reference's exact
+        odom re-anchor (gnss * odom^-1); with only `gnss_position` [3] the
+        re-anchor is translation-only."""
         odom_pose = np.asarray(odom_pose, np.float32)
+        if self.cfg.use_gnss and self._odom_to_map is None:
+            if gnss_pose is not None:
+                self._odom_to_map = (
+                    np.asarray(gnss_pose, np.float32) @ np.linalg.inv(odom_pose)
+                ).astype(np.float32)
+            elif gnss_position is not None:
+                t = np.eye(4, dtype=np.float32)
+                t[:3, 3] = np.asarray(gnss_position, np.float32) - odom_pose[:3, 3]
+                self._odom_to_map = t
+        if self._odom_to_map is not None:
+            odom_pose = (self._odom_to_map @ odom_pose).astype(np.float32)
         if not self._maybe_new_keyframe(odom_pose, time):
             return False
 
@@ -95,9 +117,14 @@ class BackEnd:
                 )
             self.store.save(i, cloud_points, cloud_mask, odom_pose, cloud_weights, time)
 
-        # AddNodeAndEdge (back_end.cpp:212-245)
-        fixed = (i == 0) and not (self.cfg.use_gnss and gnss_position is not None)
-        self.graph.add_se3_node(odom_pose, fixed=fixed)
+        # AddNodeAndEdge (back_end.cpp:212-245). The reference fixes node 0
+        # only when GNSS is absent (back_end.cpp:217-220) and relies on g2o
+        # staying near the initial guess along gauge directions; we fix node
+        # 0 always: odometry is already re-anchored into the GNSS frame (see
+        # _odom_to_map), and position-only priors leave a rotation gauge
+        # null-space (roll about a straight trajectory) that an unpinned
+        # solver can wander along, twisting keyframe clouds in the map.
+        self.graph.add_se3_node(odom_pose, fixed=(i == 0))
         if i > 0:
             prev = self.key_frames[-2].pose
             rel = np.linalg.inv(prev) @ odom_pose
@@ -143,7 +170,9 @@ class BackEnd:
 
         from ..ops.pointcloud import PointCloud, voxel_downsample
 
-        cap = 131072
+        # pad to the next power-of-two bucket >= the cloud size (few jit
+        # shapes, no silent truncation for denser-than-HDL-64 sensors)
+        cap = max(131072, 1 << (len(points) - 1).bit_length())
         pts = np.zeros((cap, 3), np.float32)
         msk = np.zeros(cap, bool)
         n = min(len(points), cap)

@@ -38,7 +38,11 @@ from ..geom.se3 import pose_inverse, transform_points
 from ..models.registration import (
     NDTConfig,
     build_ndt_map,
+    empty_ndt_sums,
+    finalize_ndt_sums,
     ndt_align,
+    recenter_ndt_sums,
+    scatter_to_sums,
 )
 from ..ops.pointcloud import PointCloud, finite_mask, rotated_box_mask, voxel_downsample
 
@@ -70,6 +74,14 @@ class FrontEndConfig:
     bbox_weight_base: float = 5.0 / 12.0
     max_bboxes: int = 40  # per frame (cpp:119 "只要40个bbox")
     max_map_bboxes: int = 200  # bbox memory across the local-map window
+    # Incremental NDT map maintenance (the reference's VoxelGrid::update,
+    # VoxelGrid.cpp:545-809): per keyframe, evict the outgoing keyframe's
+    # voxel moments, scatter the new one, roll the window, and recondition —
+    # instead of re-transforming + re-filtering + re-scattering the whole
+    # 20-keyframe concatenation twice (fine + coarse). Stats come from the
+    # (0.5 m-downsampled) keyframe clouds directly, without the extra 0.3 m
+    # local-map filter pass — slightly denser voxel statistics, same map.
+    incremental_map: bool = True
 
 
 @partial(jax.jit, static_argnames=("capacity", "leaf"))
@@ -177,6 +189,40 @@ def _build_local_map(
     return cloud, ndt_map, coarse_map
 
 
+@partial(jax.jit, static_argnames=("fine_cfg", "coarse_cfg"))
+def _incremental_map_update(
+    fine_sums,
+    coarse_sums,
+    old_world,  # [P, 3] evicted keyframe's world points
+    old_mask,  # [P] (all-False when the slot was empty)
+    old_weights,  # [P]
+    kf_points,  # [P, 3] new keyframe (sensor frame)
+    kf_mask,  # [P]
+    kf_weights,  # [P]
+    pose,  # [4, 4]
+    new_origin_fine,  # [3] lattice-multiple grid corner
+    new_origin_coarse,  # [3]
+    fine_cfg: NDTConfig,
+    coarse_cfg: NDTConfig,
+):
+    """One keyframe's map maintenance as a single device dispatch:
+    recenter -> evict outgoing -> scatter incoming -> recondition, for the
+    fine and coarse (2x resolution) grids. Replaces _build_local_map's full
+    rebuild on the incremental path (VoxelGrid.cpp:545-809 semantics)."""
+    world = kf_points @ pose[:3, :3].T + pose[:3, 3]
+    world = jnp.where(kf_mask[:, None], world, 0.0)
+
+    def one(sums, origin, cfg):
+        sums = recenter_ndt_sums(sums, origin)
+        sums = scatter_to_sums(sums, old_world, old_mask, old_weights, sign=-1.0)
+        sums = scatter_to_sums(sums, world, kf_mask, kf_weights)
+        return sums, finalize_ndt_sums(sums, cfg)
+
+    fine_sums, fine_map = one(fine_sums, new_origin_fine, fine_cfg)
+    coarse_sums, coarse_map = one(coarse_sums, new_origin_coarse, coarse_cfg)
+    return fine_sums, coarse_sums, world, fine_map, coarse_map
+
+
 class FrontEnd:
     """Stateful host wrapper (the reference's FrontEnd::Update API)."""
 
@@ -205,6 +251,11 @@ class FrontEnd:
         self.ndt_map = None
         self.coarse_ndt_map = None
         self.local_map_cloud = None
+        # incremental-map state (cfg.incremental_map): running voxel moments
+        # plus the world-frame points each slot contributed (for eviction)
+        self.fine_sums = None
+        self.coarse_sums = None
+        self.kf_world = jnp.zeros((k, p, 3), jnp.float32)
 
     def _coarse_cfg(self) -> NDTConfig:
         c = self.cfg.ndt
@@ -255,14 +306,20 @@ class FrontEnd:
             coarse = ndt_align(self.coarse_ndt_map, frame, guess, self._coarse_cfg())
             guess = coarse.pose
         result = ndt_align(self.ndt_map, frame, guess, cfg.ndt)
+        # one batched device->host transfer: the pose is needed on the host
+        # for the keyframe gate anyway, so fetching `unresolved` in the same
+        # device_get adds no extra sync (round-2 review flagged the separate
+        # float() read as a second round-trip on the hot path)
+        pose, unresolved = jax.device_get((result.pose, result.unresolved))
         # fused-kernel exactness guard: if any derivative terms fell outside
         # the key window (never observed at the production operating point),
         # redo the frame on the always-exact XLA path rather than silently
         # dropping terms (see NDTConfig.fused_window / NDTResult.unresolved)
-        if cfg.ndt.resolve_gather() == "fused" and float(result.unresolved) > 0:
+        if cfg.ndt.resolve_gather() == "fused" and float(unresolved) > 0:
             exact_cfg = dataclasses.replace(cfg.ndt, gather="two_level")
             result = ndt_align(self.ndt_map, frame, guess, exact_cfg)
-        pose = np.asarray(result.pose)
+            pose = np.asarray(result.pose)
+        pose = np.asarray(pose)
         step = np.linalg.inv(self.last_pose) @ pose
         self.predict_pose = (pose @ step).astype(np.float32)
         self.last_pose = pose
@@ -302,6 +359,12 @@ class FrontEnd:
             weights = jnp.where(kf.mask, weights, 1.0)
 
         slot = self.kf_cursor % cfg.local_frame_num
+        # snapshot the outgoing slot BEFORE overwriting (incremental evict)
+        evicting = cfg.incremental_map and bool(self.kf_valid[slot])
+        old_world = self.kf_world[slot]
+        old_mask = self.kf_masks[slot] if evicting else jnp.zeros(cfg.keyframe_capacity, bool)
+        old_weights = self.kf_weights[slot]
+
         self.kf_points = self.kf_points.at[slot].set(kf.points)
         self.kf_masks = self.kf_masks.at[slot].set(kf.mask)
         self.kf_weights = self.kf_weights.at[slot].set(weights)
@@ -322,13 +385,62 @@ class FrontEnd:
                     self.map_bbox_valid[ms] = True
                     self.map_bbox_cursor += 1
 
-        self.local_map_cloud, self.ndt_map, self.coarse_ndt_map = _build_local_map(
-            self.kf_points,
-            self.kf_masks,
-            self.kf_weights,
-            self.kf_poses,
-            jnp.asarray(self.kf_valid),
-            jnp.int32(min(self.n_keyframes, cfg.local_frame_num)),
-            jnp.asarray(np.asarray(pose, np.float32)[:3, 3]),
-            self.cfg,
+        if cfg.incremental_map:
+            fine_cfg = cfg.ndt
+            coarse_cfg = self._coarse_map_cfg()
+            center = np.asarray(pose, np.float32)[:3, 3]
+            origin_f = self._lattice_origin(center, fine_cfg)
+            origin_c = self._lattice_origin(center, coarse_cfg)
+            if self.fine_sums is None:
+                self.fine_sums = empty_ndt_sums(origin_f, fine_cfg)
+                self.coarse_sums = empty_ndt_sums(origin_c, coarse_cfg)
+            (
+                self.fine_sums,
+                self.coarse_sums,
+                world,
+                self.ndt_map,
+                self.coarse_ndt_map,
+            ) = _incremental_map_update(
+                self.fine_sums,
+                self.coarse_sums,
+                old_world,
+                old_mask,
+                old_weights,
+                kf.points,
+                kf.mask,
+                weights,
+                jnp.asarray(pose, jnp.float32),
+                jnp.asarray(origin_f),
+                jnp.asarray(origin_c),
+                fine_cfg,
+                coarse_cfg,
+            )
+            self.kf_world = self.kf_world.at[slot].set(world)
+            self.local_map_cloud = None
+        else:
+            self.local_map_cloud, self.ndt_map, self.coarse_ndt_map = _build_local_map(
+                self.kf_points,
+                self.kf_masks,
+                self.kf_weights,
+                self.kf_poses,
+                jnp.asarray(self.kf_valid),
+                jnp.int32(min(self.n_keyframes, cfg.local_frame_num)),
+                jnp.asarray(np.asarray(pose, np.float32)[:3, 3]),
+                self.cfg,
+            )
+
+    @staticmethod
+    def _lattice_origin(center, ndt_cfg: NDTConfig) -> np.ndarray:
+        """Grid corner centring `center`, snapped to the grid's OWN lattice
+        (a multiple of its resolution — required by scatter_to_sums)."""
+        res = ndt_cfg.resolution
+        dims = np.asarray(ndt_cfg.grid_dims, np.float32)
+        return (np.floor((center - 0.5 * dims * res) / res) * res).astype(np.float32)
+
+    def _coarse_map_cfg(self) -> NDTConfig:
+        c = self.cfg.ndt
+        return dataclasses.replace(
+            c,
+            resolution=c.resolution * 2.0,
+            grid_dims=(c.grid_dims[0] // 2, c.grid_dims[1] // 2, c.grid_dims[2] // 2),
         )

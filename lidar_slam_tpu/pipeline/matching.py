@@ -49,8 +49,11 @@ class MatchingConfig:
     # GPF ground removal before matching: the reference's matching_flow
     # subscribes /points_noground_synced (matching_flow.cpp:14), i.e. the
     # localization front end consumes the GroundPlaneFit node's no-ground
-    # cloud. Off by default to match the map-building pipeline's input.
-    use_ground_seg: bool = False
+    # cloud unconditionally — so True is the parity default (and measured
+    # better: the ground dominates point count but carries little lateral
+    # information). Mapping stays ground-in, like the reference
+    # (GroundPlaneFit is commented out of mapping.launch:4).
+    use_ground_seg: bool = True
 
 
 @partial(jax.jit, static_argnames=("dim", "cell"))
