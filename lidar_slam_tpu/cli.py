@@ -23,6 +23,40 @@ import time
 import numpy as np
 
 
+def _prefetch(iterable, depth: int = 4):
+    """Run a frame source on a background thread with a bounded queue — the
+    TPU-native form of the reference's cross-process stage overlap
+    (launch/mapping.launch runs data_pretreat and front_end as separate ROS
+    nodes): disk reads, decode, and numpy padding for frame i+1 happen while
+    the device computes frame i. JAX's async dispatch overlaps the device
+    side; this thread overlaps the host side."""
+    import queue
+    import threading
+
+    q = queue.Queue(maxsize=depth)
+    _END = object()
+    err = []
+
+    def worker():
+        try:
+            for item in iterable:
+                q.put(item)
+        except BaseException as e:  # re-raised on the consumer side
+            err.append(e)
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            if err:
+                raise err[0]
+            break
+        yield item
+
+
 def _run_mapping(args) -> int:
     import jax.numpy as jnp
 
@@ -41,7 +75,7 @@ def _run_mapping(args) -> int:
     lc = LoopClosing(cfg.loop_closing, store=store, data_path=args.out)
     viewer = Viewer(cfg.viewer, store)
 
-    frames = _frame_source(args)
+    frames = _prefetch(_frame_source(args))
     est = []
     gt = []
     t_start = time.time()
@@ -97,7 +131,7 @@ def _run_matching(args) -> int:
         gmap = z["points"]
     matcher = Matching(cfg.matching, gmap)
     errs = []
-    for i, frame in enumerate(_frame_source(args)):
+    for i, frame in enumerate(_prefetch(_frame_source(args))):
         if not matcher.has_inited():
             matcher.update(frame["points"])
             init = frame.get("gnss_pose")
@@ -193,14 +227,32 @@ def _run_inspect(args) -> int:
 def _frame_source(args):
     """Yield frames from KITTI raw / odometry dirs or the synthetic world."""
     if getattr(args, "kitti_raw", None):
-        from .io.kitti import KittiRawReader
+        import os
 
+        from .io.kitti import KittiRawReader
+        from .io.kitti_writer import read_bbox_dir
+
+        # detector-bbox channel: explicit --bbox-dir, else the conventional
+        # <date_dir>/bbox/<drive_id> next to the drive (the reference's
+        # hard-coded per-frame txt path made explicit, front_end.cpp:427-530)
+        bbox_dir = getattr(args, "bbox_dir", None)
+        if bbox_dir is None:
+            drive = os.path.basename(os.path.normpath(args.kitti_raw))
+            parts = drive.split("_drive_")
+            if len(parts) == 2:
+                cand = os.path.join(
+                    os.path.dirname(os.path.normpath(args.kitti_raw)),
+                    "bbox",
+                    parts[1].replace("_sync", ""),
+                )
+                bbox_dir = cand if os.path.isdir(cand) else None
         for f in KittiRawReader(args.kitti_raw):
             yield {
                 "points": f["points"],
                 "time": f["time"],
                 "gnss_position": f["gnss_pose"][:3, 3],
                 "gnss_pose": f["gnss_pose"],
+                "bboxes": read_bbox_dir(bbox_dir, f["index"]) if bbox_dir else None,
             }
     elif getattr(args, "kitti_odometry", None):
         from .io.kitti import KittiOdometryReader
@@ -251,6 +303,11 @@ def main(argv=None) -> int:
 
     def add_source(sp):
         sp.add_argument("--kitti-raw", help="KITTI raw *_sync drive directory")
+        sp.add_argument(
+            "--bbox-dir", dest="bbox_dir", default=None,
+            help="per-frame detector bbox txt dir (default: <date>/bbox/<drive> "
+                 "next to --kitti-raw when present)",
+        )
         sp.add_argument("--kitti-odometry", help="KITTI odometry '<root>:<seq>'")
         sp.add_argument("--synthetic", default=None, help="synthetic run with N frames")
         sp.add_argument("--config", default=None, help="YAML config path")

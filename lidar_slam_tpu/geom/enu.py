@@ -55,6 +55,53 @@ def geodetic_to_enu(lat, lon, alt, lat0, lon0, alt0):
     return np.einsum("ij,...j->...i", rot, d)
 
 
+def _ecef_to_geodetic(ecef):
+    """ECEF [..., 3] -> (lat_deg, lon_deg, alt). Bowring's method with two
+    refinement iterations — sub-micrometre at automotive altitudes."""
+    ecef = np.asarray(ecef, np.float64)
+    x, y, z = ecef[..., 0], ecef[..., 1], ecef[..., 2]
+    lon = np.arctan2(y, x)
+    p = np.hypot(x, y)
+    # initial parametric latitude
+    b = _A * (1.0 - _F)
+    e2p = (_A * _A - b * b) / (b * b)
+    theta = np.arctan2(z * _A, p * b)
+    lat = np.arctan2(
+        z + e2p * b * np.sin(theta) ** 3, p - _E2 * _A * np.cos(theta) ** 3
+    )
+    for _ in range(2):
+        sin_lat = np.sin(lat)
+        n = _A / np.sqrt(1.0 - _E2 * sin_lat * sin_lat)
+        alt = p / np.cos(lat) - n
+        lat = np.arctan2(z, p * (1.0 - _E2 * n / (n + alt)))
+    sin_lat = np.sin(lat)
+    n = _A / np.sqrt(1.0 - _E2 * sin_lat * sin_lat)
+    alt = p / np.cos(lat) - n
+    return np.rad2deg(lat), np.rad2deg(lon), alt
+
+
+def enu_to_geodetic(enu, lat0, lon0, alt0):
+    """Inverse of geodetic_to_enu: local ENU metres about (lat0, lon0, alt0)
+    -> (lat_deg, lon_deg, alt). Used by the KITTI-raw fixture writer
+    (io/kitti_writer.py) to emit oxts records from metric trajectories."""
+    enu = np.asarray(enu, np.float64)
+    lat0r = np.deg2rad(np.float64(lat0))
+    lon0r = np.deg2rad(np.float64(lon0))
+    sl, cl = np.sin(lat0r), np.cos(lat0r)
+    so, co = np.sin(lon0r), np.cos(lon0r)
+    rot = np.array(
+        [
+            [-so, co, 0.0],
+            [-sl * co, -sl * so, cl],
+            [cl * co, cl * so, sl],
+        ],
+        dtype=np.float64,
+    )
+    d = np.einsum("ji,...j->...i", rot, enu)  # rot^T @ enu
+    ecef = _geodetic_to_ecef(lat0, lon0, alt0) + d
+    return _ecef_to_geodetic(ecef)
+
+
 @dataclass
 class LocalCartesian:
     """Stateful convenience wrapper mirroring GeographicLib's LocalCartesian API

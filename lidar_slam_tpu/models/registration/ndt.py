@@ -322,35 +322,37 @@ def recenter_ndt_sums(sums: NDTMapSums, new_origin) -> NDTMapSums:
     )
 
 
-def finalize_ndt_sums(sums: NDTMapSums, config: NDTConfig) -> NDTMap:
-    """Condition the running sums into an NDTMap (centroid + clamped-inverse
-    covariance + compact packed table) — the second half of
-    VoxelGrid::computeCentroidAndCovariance (VoxelGrid.cpp:272-325)."""
-    dims = sums.dims
-    v = dims[0] * dims[1] * dims[2]
-    res = jnp.float32(sums.resolution)
+def _moments_from_sums(
+    origin, count_raw, psum, ppsum, wsum, dims, resolution: float, vid_start=0
+):
+    """Per-voxel (count, mean, cov, staticvalue) from running moment sums —
+    strictly elementwise, so it runs unchanged on a voxel SLAB when given
+    that slab's arrays and its starting flat voxel id (`vid_start`); the
+    sharded map build (parallel/sharded_ndt.py) relies on this."""
+    v = count_raw.shape[0]
+    res = jnp.float32(resolution)
     # guard against float residue after add/evict cycles: a voxel is only a
     # Gaussian with >= min_points_per_voxel anyway, and count is exact for
     # true integer contents
-    count = jnp.maximum(sums.count, 0.0)
+    count = jnp.maximum(count_raw, 0.0)
     count = jnp.where(count < 0.5, 0.0, count)
 
     n = jnp.maximum(count, 1.0)
-    rel_mean = sums.psum / n[:, None]
+    rel_mean = psum / n[:, None]
     # absolute voxel corner from the flat id (absolute-lattice convention,
     # matching scatter_to_sums: corner = (origin_cell + local_cell) * res)
-    idx = jnp.arange(v, dtype=jnp.int32)
+    idx = vid_start + jnp.arange(v, dtype=jnp.int32)
     cz = idx % dims[2]
     cy = (idx // dims[2]) % dims[1]
     cx = idx // (dims[1] * dims[2])
-    origin_cells = jnp.round(sums.origin / res).astype(jnp.int32)
+    origin_cells = jnp.round(origin / res).astype(jnp.int32)
     corner = (
         origin_cells[None, :] + jnp.stack([cx, cy, cz], axis=-1)
     ).astype(jnp.float32) * res
     mean = corner + rel_mean
-    staticvalue = sums.wsum / n
+    staticvalue = wsum / n
     # cov = (sum rr^T / n - mu_rel mu_rel^T) * (n-1)/n  (VoxelGrid.cpp:292-295)
-    pp = sums.ppsum / n[:, None]
+    pp = ppsum / n[:, None]
     cov = jnp.stack(
         [
             pp[:, 0] - rel_mean[:, 0] * rel_mean[:, 0],
@@ -366,7 +368,17 @@ def finalize_ndt_sums(sums: NDTMapSums, config: NDTConfig) -> NDTMap:
         axis=-1,
     ).reshape(-1, 3, 3)
     cov = cov * ((n - 1.0) / n)[:, None, None]
+    return count, mean, cov, staticvalue
 
+
+def finalize_ndt_sums(sums: NDTMapSums, config: NDTConfig) -> NDTMap:
+    """Condition the running sums into an NDTMap (centroid + clamped-inverse
+    covariance + compact packed table) — the second half of
+    VoxelGrid::computeCentroidAndCovariance (VoxelGrid.cpp:272-325)."""
+    dims = sums.dims
+    count, mean, cov, staticvalue = _moments_from_sums(
+        sums.origin, sums.count, sums.psum, sums.ppsum, sums.wsum, dims, sums.resolution
+    )
     return _condition_and_pack(sums.origin, count, mean, cov, staticvalue, dims, config)
 
 
@@ -394,8 +406,13 @@ def build_ndt_map(cloud: PointCloud, config: NDTConfig, origin=None) -> NDTMap:
     return finalize_ndt_sums(sums, config)
 
 
-def _condition_and_pack(origin, count, mean, cov, staticvalue, dims, config: NDTConfig) -> NDTMap:
-    v = dims[0] * dims[1] * dims[2]
+def _condition_rows(count, mean, cov, staticvalue, config: NDTConfig):
+    """Per-voxel covariance conditioning -> (rows [V, 16], icov, valid).
+
+    Strictly elementwise over the voxel axis, so it shards cleanly over
+    voxel slabs (parallel/sharded_ndt.sharded_build_ndt_map) — this is where
+    the map-build FLOPs live (batched eigendecomposition + inverse)."""
+    v = count.shape[0]
     evals, evecs = sym_eigh3(cov)
     enough = count >= float(config.min_points_per_voxel)
     # Reference marks voxels with negative / zero eigenvalues degenerate
@@ -426,6 +443,13 @@ def _condition_and_pack(origin, count, mean, cov, staticvalue, dims, config: NDT
         ],
         axis=-1,
     )
+    return rows, icov, valid
+
+
+def _pack_rows(origin, count, mean, icov, staticvalue, rows, valid, dims, config: NDTConfig) -> NDTMap:
+    """Global compaction of conditioned rows into the NDTMap (cumsum over the
+    FULL voxel axis — the only non-elementwise stage of map finalization)."""
+    v = dims[0] * dims[1] * dims[2]
     # compact the (sparse) valid voxels: dense grid holds only int32 row
     # indices; stats live in a small table the stencil gather can cache
     cap = config.max_compact_voxels
@@ -455,6 +479,11 @@ def _condition_and_pack(origin, count, mean, cov, staticvalue, dims, config: NDT
         dims=dims,
         resolution=config.resolution,
     )
+
+
+def _condition_and_pack(origin, count, mean, cov, staticvalue, dims, config: NDTConfig) -> NDTMap:
+    rows, icov, valid = _condition_rows(count, mean, cov, staticvalue, config)
+    return _pack_rows(origin, count, mean, icov, staticvalue, rows, valid, dims, config)
 
 
 def _angle_jacobian_tensors(pose):

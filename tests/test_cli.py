@@ -6,6 +6,25 @@ import numpy as np
 import pytest
 
 
+class TestPrefetch:
+    def test_order_and_completion(self):
+        from lidar_slam_tpu.cli import _prefetch
+
+        assert list(_prefetch(iter(range(100)), depth=3)) == list(range(100))
+
+    def test_producer_exception_propagates(self):
+        from lidar_slam_tpu.cli import _prefetch
+
+        def gen():
+            yield 1
+            raise ValueError("boom")
+
+        it = _prefetch(gen(), depth=2)
+        assert next(it) == 1
+        with pytest.raises(ValueError, match="boom"):
+            list(it)
+
+
 @pytest.mark.slow
 class TestCliSmoke:
     def test_mapping_then_matching_synthetic(self, tmp_path):

@@ -8,7 +8,10 @@ from lidar_slam_tpu.geom import se3_exp, se3_log, pose_inverse, transform_points
 from lidar_slam_tpu.models.registration import NDTConfig, build_ndt_map, ndt_align, ndt_derivatives
 from lidar_slam_tpu.models.graph_optimizer import GraphOptimizerConfig, optimize_pose_graph
 from lidar_slam_tpu.parallel import (
+    distributed_init_from_env,
     make_mesh,
+    sharded_build_local_map,
+    sharded_build_ndt_map,
     sharded_ndt_align,
     sharded_ndt_derivatives,
     optimize_pose_graph_sharded,
@@ -60,6 +63,66 @@ class TestShardedNDT:
         np.testing.assert_allclose(np.asarray(r8.pose), np.asarray(r1.pose), atol=1e-2)
         err = np.asarray(se3_log(pose_inverse(T_true) @ r8.pose))
         assert np.abs(err[:3]).max() < 0.1
+
+
+class TestShardedMapBuild:
+    def test_build_matches_single_device(self, mesh8):
+        pts = make_scene(30, 60, seed=9)
+        # capacity divisible by 8 for clean point shards
+        target = PointCloud.from_points(pts, capacity=4096)
+        origin = jnp.asarray([-16.0, -16.0, -8.0])
+        m1 = build_ndt_map(target, CFG, origin=origin)
+        m8 = sharded_build_ndt_map(target, origin, CFG, mesh8)
+        np.testing.assert_array_equal(np.asarray(m8.valid), np.asarray(m1.valid))
+        np.testing.assert_allclose(np.asarray(m8.count), np.asarray(m1.count), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(m8.mean), np.asarray(m1.mean), atol=1e-4)
+        # psum reduction order differs from the single-device segment_sum;
+        # near-clamp eigenvalues amplify the f32 residue into icov
+        np.testing.assert_allclose(np.asarray(m8.icov), np.asarray(m1.icov), rtol=2e-3, atol=2e-2)
+        np.testing.assert_array_equal(np.asarray(m8.keys), np.asarray(m1.keys))
+        # the align path consumes the packed table — same result either way
+        rng = np.random.default_rng(3)
+        src = PointCloud.from_points(pts[rng.choice(len(pts), 1024, replace=False)], capacity=1024)
+        r1 = ndt_align(m1, src, jnp.eye(4), CFG)
+        r8 = ndt_align(m8, src, jnp.eye(4), CFG)
+        np.testing.assert_allclose(np.asarray(r8.pose), np.asarray(r1.pose), atol=1e-5)
+
+    def test_keyframe_sharded_local_map(self, mesh8):
+        """8 keyframes sharded one-per-device == the same 8 concatenated."""
+        rng = np.random.default_rng(4)
+        k, p = 8, 512
+        kf_pts = rng.uniform(-10, 10, (k, p, 3)).astype(np.float32)
+        kf_masks = rng.uniform(size=(k, p)) < 0.9
+        kf_weights = rng.uniform(0.2, 1.0, (k, p)).astype(np.float32)
+        poses = np.tile(np.eye(4, dtype=np.float32), (k, 1, 1))
+        poses[:, :3, 3] = rng.uniform(-3, 3, (k, 3))
+        kf_valid = np.ones(k, bool)
+        kf_valid[6] = False  # one empty slot, like a part-filled ring buffer
+        origin = jnp.asarray([-16.0, -16.0, -8.0])
+
+        m8 = sharded_build_local_map(
+            jnp.asarray(kf_pts), jnp.asarray(kf_masks), jnp.asarray(kf_weights),
+            jnp.asarray(poses), jnp.asarray(kf_valid), origin, CFG, mesh8,
+        )
+        world = np.einsum("kij,kpj->kpi", poses[:, :3, :3], kf_pts) + poses[:, None, :3, 3]
+        flat = PointCloud(
+            points=jnp.asarray(world.reshape(-1, 3)),
+            mask=jnp.asarray((kf_masks & kf_valid[:, None]).reshape(-1)),
+            weights=jnp.asarray(kf_weights.reshape(-1)),
+        )
+        m1 = build_ndt_map(flat, CFG, origin=origin)
+        np.testing.assert_array_equal(np.asarray(m8.valid), np.asarray(m1.valid))
+        np.testing.assert_allclose(np.asarray(m8.count), np.asarray(m1.count), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(m8.mean), np.asarray(m1.mean), atol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(m8.staticvalue), np.asarray(m1.staticvalue), atol=1e-4
+        )
+
+    def test_distributed_init_noop_single_host(self, monkeypatch):
+        monkeypatch.delenv("SLAM_COORDINATOR_ADDRESS", raising=False)
+        monkeypatch.delenv("SLAM_NUM_PROCESSES", raising=False)
+        assert distributed_init_from_env() is False  # safe no-op, mesh still works
+        assert make_mesh(8).devices.size == 8
 
 
 class TestShardedGraph:

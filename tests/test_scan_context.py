@@ -82,3 +82,41 @@ class TestRetrieval:
         assert dist < 0.05
         if warmup_dists:
             assert dist < min(warmup_dists) * 0.5
+
+
+class TestStoreLeafRecall:
+    def test_retrieval_survives_store_downsampling(self):
+        """The back end stores keyframe clouds 0.5 m voxel-downsampled
+        (BackEndConfig.store_leaf) and loop closing builds SC descriptors
+        from those store clouds — validate that retrieval recall at the
+        reference acceptance threshold (SC_DIST_THRES = 0.5,
+        scan_context.h:100-102) survives the downsampling, and that raw and
+        downsampled descriptors of the same place agree."""
+        from lidar_slam_tpu.ops import PointCloud, voxel_downsample
+
+        def store_cloud(pts, mask):
+            cloud = PointCloud(points=jnp.asarray(pts), mask=jnp.asarray(mask))
+            out = voxel_downsample(cloud, 0.5, out_capacity=pts.shape[0])
+            return np.asarray(out.points), np.asarray(out.mask)
+
+        world = SyntheticWorld.corridor(length=60, seed=3)
+        fwd = make_trajectory(12, speed=2.0)
+        mgr = SCManager(CFG, capacity=64)
+        for i in range(12):
+            pts, mask = scan_at(world, fwd[i], 10 + i)
+            mgr.add(*store_cloud(pts, mask))
+
+        # raw vs downsampled descriptor of the same scan: max-z binning is
+        # insensitive to in-voxel decimation
+        pts, mask = scan_at(world, fwd[0], 99)
+        d_raw = make_scancontext(jnp.asarray(pts), jnp.asarray(mask), CFG)
+        dpts, dmask = store_cloud(pts, mask)
+        d_ds = make_scancontext(jnp.asarray(dpts), jnp.asarray(dmask), CFG)
+        dist_self, _ = sc_distance(d_raw, d_ds)
+        assert float(dist_self) < 0.15, float(dist_self)
+
+        # revisit retrieval from downsampled store clouds
+        mgr.add(dpts, dmask)
+        idx, dist, yaw = mgr.detect()
+        assert idx == 0, (idx, dist)
+        assert dist < 0.5, dist  # reference acceptance threshold
