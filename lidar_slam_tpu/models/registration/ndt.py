@@ -112,22 +112,24 @@ class NDTConfig:
     # opt-in per use site (e.g. fine-resolution refinement passes).
     max_step_iterations: int = 0
     # 'newton' = the reference's clamped-Newton iteration (step length
-    # limited to step_size = 0.1 m, so convergence from a 1 m-off initial
-    # guess takes ~15-25 derivative evaluations). 'lm' = Levenberg-Marquardt
-    # on -score with full damped-Newton trial steps and accept/reject — one
-    # derivative evaluation per iteration, typically 4-8 evaluations for the
-    # same optimum (measured equal-or-better pose error on the corridor
-    # bench). Same objective, same convergence test (|step| < trans_eps);
-    # only the step-length policy differs from the reference.
+    # limited to step_size = 0.1 m). 'lm' = Levenberg-Marquardt on -score
+    # with full damped-Newton trial steps and accept/reject. Round-3 TPU
+    # measurement at the production operating point (corridor bench,
+    # 0.3 m-perturbed guesses): newton converges to 0.016 m mean error in
+    # ~20 evals; lm stalls against its step-acceptance test on aliased
+    # corridor scenes (29 evals, 0.15 m mean error) — newton is the
+    # production default, lm stays for well-conditioned fine-refinement use.
+    # NOTE: with the motion-model-chained guesses production actually uses
+    # (front_end.cpp:238-240), newton needs only ~3.5 evals/frame — the
+    # iteration count is dominated by the first frame's cold start.
     solver: str = "newton"
     # stop when the score stops improving: |dscore| < score_rel_tol * |score|
-    # after >= 3 iterations. The reference iterates on step length only and
-    # measurably wanders up to max_iter on aliased scenes (21.6 mean
-    # iterations on the corridor bench, with no accuracy gain after ~6).
-    # DEFAULT 0 (disabled): enabling it reproducibly HANGS the XLA TPU
-    # compiler in this toolchain (align programs with the extra predicate
-    # never finish compiling; tol=0 compiles in seconds). Use max_iter to
-    # bound work until the toolchain moves.
+    # after >= 3 iterations. Default 0 (off, reference-exact behaviour).
+    # Round-2 notes reported a TPU compiler hang with this enabled; round-3
+    # re-measurement (2026-08-20 toolchain) shows it compiles and runs fine.
+    # At production operating points it is nearly moot: with motion-model
+    # prediction the solver converges by the |step| < trans_eps test in ~3
+    # iterations before a plateau can trigger.
     score_rel_tol: float = 0.0
     point_chunk: int = 8192
 
@@ -911,10 +913,10 @@ def lm_align(derivs, init_pose, config: NDTConfig, n_valid_points):
     """Levenberg-Marquardt on L(p) = -score: full damped-Newton trial steps
     with accept/reject, one derivative evaluation per iteration.
 
-    TPU-motivated redesign of the reference's clamped-Newton loop: each
-    derivative evaluation is one large fused device reduction, so wall time
-    is evals x eval-cost — LM converges in ~4-8 evals where the 0.1 m step
-    clamp (NormalDistributionsTransform.cpp:367,682-756) needs 15-25.
+    Alternative step policy to the reference's 0.1 m clamp
+    (NormalDistributionsTransform.cpp:367,682-756). Round-3 TPU measurement:
+    on aliased corridor scenes LM's accept test stalls (29 evals, worse pose
+    error than newton) — see NDTConfig.solver for the production guidance.
     """
     p0 = _matrix_to_pose(jnp.asarray(init_pose, jnp.float32))
     score0, grad0, hess0, unres0 = derivs(p0, True)

@@ -43,21 +43,33 @@ def measure_scaling(n_points: int = 65536, repeats: int = 10, device_counts=None
     source = PointCloud.from_points(pts + 0.1)
     pose = jnp.zeros(6)
 
+    from .sharded_ndt import sharded_build_ndt_map
+
+    origin = jnp.floor(jnp.min(target.points, axis=0) - 1.0)
+
     results = []
     base_rate = None
+    base_build = None
     for d in device_counts:
         mesh = make_mesh(d)
         # warmup/compile
         out = sharded_ndt_derivatives(ndt_map, source, pose, cfg, mesh)
-        jax.block_until_ready(out)
+        m = sharded_build_ndt_map(target, origin, cfg, mesh)
+        jax.block_until_ready((out, m.packed))
         t0 = time.perf_counter()
         for _ in range(repeats):
             out = sharded_ndt_derivatives(ndt_map, source, pose, cfg, mesh)
         jax.block_until_ready(out)
         dt = (time.perf_counter() - t0) / repeats
+        t0 = time.perf_counter()
+        for _ in range(repeats):
+            m = sharded_build_ndt_map(target, origin, cfg, mesh)
+        jax.block_until_ready(m.packed)
+        dt_build = (time.perf_counter() - t0) / repeats
         rate = n_points / dt
         if base_rate is None:
             base_rate = rate
+            base_build = dt_build
         eff = rate / (base_rate * d)
         results.append(
             {
@@ -65,6 +77,8 @@ def measure_scaling(n_points: int = 65536, repeats: int = 10, device_counts=None
                 "eval_ms": dt * 1000.0,
                 "points_per_s": rate,
                 "scaling_efficiency": eff,
+                "map_build_ms": dt_build * 1000.0,
+                "map_build_speedup": base_build / dt_build,
                 "score": float(out[0]),
             }
         )
@@ -81,7 +95,8 @@ def main():
     for r in rows:
         print(
             f"devices={r['devices']:3d}  eval {r['eval_ms']:8.2f} ms  "
-            f"{r['points_per_s']:12.0f} pts/s  efficiency {r['scaling_efficiency']:.2f}"
+            f"{r['points_per_s']:12.0f} pts/s  efficiency {r['scaling_efficiency']:.2f}  "
+            f"map build {r['map_build_ms']:8.2f} ms  speedup {r['map_build_speedup']:.2f}x"
         )
     spread = max(scores) - min(scores)
     print(f"cross-mesh score spread: {spread:.3e} (must be ~0)")

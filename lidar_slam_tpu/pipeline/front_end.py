@@ -91,6 +91,33 @@ def _preprocess(points, mask, capacity: int, leaf: float) -> PointCloud:
     return voxel_downsample(cloud, leaf, out_capacity=capacity)
 
 
+@partial(jax.jit, static_argnames=("capacity", "leaf", "fine_cfg", "coarse_cfg"))
+def _track_step(
+    fine_map,
+    coarse_map,  # may equal fine_map when coarse_cfg is None
+    points,
+    mask,
+    predict,  # [4, 4] motion-model prediction
+    capacity: int,
+    leaf: float,
+    fine_cfg: NDTConfig,
+    coarse_cfg: Optional[NDTConfig],
+):
+    """One frame's whole tracking work as a SINGLE device program:
+    preprocess (finite mask + voxel downsample) -> optional coarse align ->
+    fine align. Fusing the stages into one dispatch matters on remote-device
+    transports where every dispatch costs ~5 ms of launch latency; it also
+    lets XLA overlap the downsample scatter with the first derivative
+    gather. Returns the downsampled frame (device-resident, reused by the
+    keyframe path) alongside the result."""
+    frame = _preprocess.__wrapped__(points, mask, capacity, leaf)
+    guess = predict
+    if coarse_cfg is not None:
+        guess = ndt_align(coarse_map, frame, guess, coarse_cfg).pose
+    r = ndt_align(fine_map, frame, guess, fine_cfg)
+    return frame.points, frame.mask, r.pose, r.unresolved
+
+
 @partial(jax.jit, static_argnames=("base", "radius"))
 def _bbox_weights(
     points,  # [N, 3] keyframe cloud (sensor frame)
@@ -289,11 +316,11 @@ class FrontEnd:
         msk_fixed = np.zeros(cfg.raw_capacity, bool)
         pts_fixed[:n] = points[:n]
         msk_fixed[:n] = mask[:n]
-        frame = _preprocess(
-            jnp.asarray(pts_fixed), jnp.asarray(msk_fixed), cfg.frame_capacity, cfg.frame_leaf
-        )
 
         if self.n_keyframes == 0:
+            frame = _preprocess(
+                jnp.asarray(pts_fixed), jnp.asarray(msk_fixed), cfg.frame_capacity, cfg.frame_leaf
+            )
             pose = self.init_pose
             self.last_pose = pose.copy()
             self.predict_pose = pose.copy()
@@ -301,22 +328,37 @@ class FrontEnd:
             self._add_keyframe(frame, pose, bboxes, first=True)
             return pose, True
 
-        guess = jnp.asarray(self.predict_pose)
-        if cfg.coarse_to_fine and self.coarse_ndt_map is not None:
-            coarse = ndt_align(self.coarse_ndt_map, frame, guess, self._coarse_cfg())
-            guess = coarse.pose
-        result = ndt_align(self.ndt_map, frame, guess, cfg.ndt)
+        # preprocess + coarse + fine as ONE dispatch (see _track_step)
+        use_coarse = cfg.coarse_to_fine and self.coarse_ndt_map is not None
+        coarse_cfg = self._coarse_cfg() if use_coarse else None
+        coarse_map = self.coarse_ndt_map if use_coarse else self.ndt_map
+        f_pts, f_mask, dev_pose, dev_unres = _track_step(
+            self.ndt_map,
+            coarse_map,
+            jnp.asarray(pts_fixed),
+            jnp.asarray(msk_fixed),
+            jnp.asarray(self.predict_pose),
+            cfg.frame_capacity,
+            cfg.frame_leaf,
+            cfg.ndt,
+            coarse_cfg,
+        )
+        frame = PointCloud(points=f_pts, mask=f_mask)
         # one batched device->host transfer: the pose is needed on the host
         # for the keyframe gate anyway, so fetching `unresolved` in the same
         # device_get adds no extra sync (round-2 review flagged the separate
         # float() read as a second round-trip on the hot path)
-        pose, unresolved = jax.device_get((result.pose, result.unresolved))
+        pose, unresolved = jax.device_get((dev_pose, dev_unres))
         # fused-kernel exactness guard: if any derivative terms fell outside
         # the key window (never observed at the production operating point),
         # redo the frame on the always-exact XLA path rather than silently
         # dropping terms (see NDTConfig.fused_window / NDTResult.unresolved)
         if cfg.ndt.resolve_gather() == "fused" and float(unresolved) > 0:
             exact_cfg = dataclasses.replace(cfg.ndt, gather="two_level")
+            guess = jnp.asarray(self.predict_pose)
+            if use_coarse:
+                coarse_exact = dataclasses.replace(coarse_cfg, gather="two_level")
+                guess = ndt_align(self.coarse_ndt_map, frame, guess, coarse_exact).pose
             result = ndt_align(self.ndt_map, frame, guess, exact_cfg)
             pose = np.asarray(result.pose)
         pose = np.asarray(pose)

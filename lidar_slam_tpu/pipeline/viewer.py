@@ -85,8 +85,10 @@ class Viewer:
         if not pts:
             return np.zeros((0, 3), np.float32)
         allp = np.concatenate(pts).astype(np.float32)
-        cap = min(self.cfg.map_capacity, len(allp))
-        cloud = PointCloud.from_points(allp[: self.cfg.map_capacity])
+        allp = allp[: self.cfg.map_capacity]
+        if leaf is None:  # unfiltered map: raw concatenation (viewer.cpp:193-205)
+            return allp
+        cloud = PointCloud.from_points(allp)
         out = voxel_downsample(cloud, leaf, out_capacity=cloud.capacity)
         m = np.asarray(out.mask)
         return np.asarray(out.points)[m]
@@ -97,7 +99,7 @@ class Viewer:
         return self._joint_map(range(lo, n), self.cfg.local_map_leaf)
 
     def get_global_map(self, filtered: bool = True) -> np.ndarray:
-        leaf = self.cfg.global_map_leaf if filtered else 1e-6
+        leaf = self.cfg.global_map_leaf if filtered else None
         return self._joint_map(range(len(self.corrected_poses)), leaf)
 
     def save_trajectory_plot(self, path: str, gt_poses=None) -> None:
