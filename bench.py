@@ -216,7 +216,10 @@ def pose_graph_leg():
         )
         T[:3, 3] = [60 * np.cos(theta), 60 * np.sin(theta), 0.0]
         gt.append(T)
-    builder = PoseGraphBuilder(max_nodes=512, max_edges=512, max_priors=8)
+    # capacity sized to the case (366 nodes -> 2304-dim dense solve): the
+    # dense normal matrix cost is capacity-cubed, and the reference number
+    # this races is for exactly 366 vertices
+    builder = PoseGraphBuilder(max_nodes=384, max_edges=384, max_priors=8)
     est = [gt[0]]
     builder.add_se3_node(gt[0], fixed=True)
     for i in range(1, n):
@@ -315,53 +318,36 @@ def front_end_leg(workload):
 
 
 def aloam_leg():
-    """A-LOAM two-stage pipeline fps on synthetic spinning scans (the
-    reference's real-time budget: <100 ms/stage, scanRegistration.cpp:454)."""
+    """A-LOAM pipeline fps on synthetic spinning scans — the FUSED one-
+    dispatch-per-sweep step (features -> odometry -> mapping -> map fold in
+    one program; the reference's real-time budget is <100 ms/stage,
+    scanRegistration.cpp:454)."""
     from lidar_slam_tpu.io import SyntheticWorld, make_trajectory, simulate_spinning_scan
-    from lidar_slam_tpu.pipeline.aloam import (
-        AloamMapping,
-        AloamMappingConfig,
-        AloamOdometry,
-        AloamOdometryConfig,
-        FeatureExtractionConfig,
-        extract_features,
-    )
-    import jax.numpy as jnp
+    from lidar_slam_tpu.pipeline.aloam import AloamPipeline, FeatureExtractionConfig
 
     fe_cfg = FeatureExtractionConfig(
         n_scans=64, min_range=2.5, capacity=65536,
         max_sharp=1024, max_less_sharp=8192, max_flat=2048, max_less_flat=16384,
     )
-    odo = AloamOdometry(AloamOdometryConfig())
-    mapping = AloamMapping(AloamMappingConfig())
+    pipe = AloamPipeline(fe_cfg)
     world = SyntheticWorld.corridor(length=60.0, width=18.0, density=30.0, seed=2)
     traj = make_trajectory(12, speed=0.8)
+    pipe.set_init_pose(traj[0])
     frames = []
     for i in range(12):
         pts, mask = simulate_spinning_scan(
             world, traj[i], t=i * 0.1, n_scans=64, n_azimuth=1024, seed=i
         )
-        p = np.zeros((fe_cfg.capacity, 3), np.float32)
-        m = np.zeros(fe_cfg.capacity, bool)
-        n = min(len(pts), fe_cfg.capacity)
-        p[:n] = pts[:n]
-        m[:n] = mask[:n]
-        frames.append((jnp.asarray(p), jnp.asarray(m)))
-
-    def one(pts, msk):
-        f = extract_features(pts, msk, fe_cfg)
-        T_odom = odo.update(f)
-        return mapping.update(f, T_odom)
+        frames.append((pts, mask))
 
     t0 = time.time()
-    for i in range(2):  # warmup / compile all three stages
-        one(*frames[i])
+    for i in range(2):  # warmup / compile
+        pipe.update(*frames[i])
     _log(f"[aloam] warmup/compiles: {time.time()-t0:.1f}s")
     t0 = time.time()
-    poses = [one(*frames[i]) for i in range(2, 12)]
+    poses = [pipe.update(*frames[i])[0] for i in range(2, 12)]
     dt = time.time() - t0
-    errs = [np.linalg.norm(poses[i][:3, 3] - (traj[2 + i][:3, 3] - traj[0][:3, 3]))
-            for i in range(10)]
+    errs = [np.linalg.norm(poses[i][:3, 3] - traj[2 + i][:3, 3]) for i in range(10)]
     _log(f"[aloam] {dt/10*1000:.1f} ms/frame, err mean {np.mean(errs):.3f} m")
     assert np.mean(errs) < 0.3, f"A-LOAM error guard ({np.mean(errs):.3f} m)"
     return 10 / dt
@@ -431,15 +417,15 @@ def main():
     _emit("pose_graph_ms_per_iter", ms_per_iter, "ms/iter",
           vs_baseline=3.66 / ms_per_iter, iterations=g_iters)
 
-    e2e_fps, upd_ms = front_end_leg(workload)
-    _emit("map_update_ms", upd_ms, "ms/keyframe")
-    _emit("front_end_e2e_fps", e2e_fps, "frames/s", vs_baseline=e2e_fps / 10.0)
-
     try:
         aloam_fps = aloam_leg()
         _emit("aloam_pipeline_fps", aloam_fps, "frames/s", vs_baseline=aloam_fps / 10.0)
     except Exception as e:  # the headline must still print
         _log(f"[aloam] FAILED: {e}")
+
+    e2e_fps, upd_ms = front_end_leg(workload)
+    _emit("map_update_ms", upd_ms, "ms/keyframe")
+    _emit("front_end_e2e_fps", e2e_fps, "frames/s", vs_baseline=e2e_fps / 10.0)
 
     out, _ = cpu_proc.communicate(timeout=3600)
     cpu_fps = None

@@ -150,50 +150,19 @@ def _run_matching(args) -> int:
     return 0
 
 
-class _AloamFrontEnd:
-    """A-LOAM two-stage front end behind the FrontEnd.update API — the
+def _AloamFrontEnd():
+    """A-LOAM front end behind the FrontEnd.update API — the
     mapping_with_aloam.launch wiring (A-LOAM odometry+mapping feeding the
-    lidar_localization back end)."""
+    lidar_localization back end), fused into one device program per sweep
+    (pipeline/aloam/pipeline.py)."""
+    from .pipeline.aloam import AloamPipeline, FeatureExtractionConfig
 
-    def __init__(self):
-        from .pipeline.aloam import (
-            AloamMapping,
-            AloamMappingConfig,
-            AloamOdometry,
-            AloamOdometryConfig,
-            FeatureExtractionConfig,
-        )
-
-        self.fe_cfg = FeatureExtractionConfig(
+    return AloamPipeline(
+        FeatureExtractionConfig(
             n_scans=64, min_range=2.5, capacity=131072,
             max_sharp=1024, max_less_sharp=8192, max_flat=2048, max_less_flat=16384,
         )
-        self.odo = AloamOdometry(AloamOdometryConfig())
-        self.mapping = AloamMapping(AloamMappingConfig())
-        self.T0 = None
-
-    def set_init_pose(self, pose):
-        import numpy as _np
-
-        self.T0 = _np.asarray(pose, _np.float32)
-
-    def update(self, points, mask=None, bboxes=None):
-        import jax.numpy as jnp
-        import numpy as _np
-
-        from .pipeline.aloam import extract_features
-
-        pts = _np.zeros((self.fe_cfg.capacity, 3), _np.float32)
-        msk = _np.zeros(self.fe_cfg.capacity, bool)
-        n = min(len(points), self.fe_cfg.capacity)
-        pts[:n] = _np.asarray(points, _np.float32)[:n]
-        msk[:n] = True if mask is None else _np.asarray(mask, bool)[:n]
-        f = extract_features(jnp.asarray(pts), jnp.asarray(msk), self.fe_cfg)
-        T_odom = self.odo.update(f)
-        T_map = self.mapping.update(f, T_odom)
-        if self.T0 is None:
-            self.T0 = _np.eye(4, dtype=_np.float32)
-        return (self.T0 @ T_map).astype(_np.float32), False
+    )
 
 
 def _run_inspect(args) -> int:

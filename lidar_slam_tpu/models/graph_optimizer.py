@@ -340,7 +340,11 @@ def optimize_pose_graph(
     graph: PoseGraph, cfg: GraphOptimizerConfig = GraphOptimizerConfig()
 ) -> Tuple[PoseGraph, dict]:
     """Levenberg-Marquardt with variable lambda (g2o `lm_var` semantics,
-    g2o_graph_optimizer.cpp:30-56). Returns (optimized graph, stats)."""
+    g2o_graph_optimizer.cpp:30-56). Returns (optimized graph, stats).
+
+    Jitted with the config static: repeat solves at the same (max_nodes,
+    max_edges) capacity reuse the compiled program — the back end re-optimizes
+    the growing graph many times per run, so the retrace cost matters."""
     chi2_0 = graph_chi2(graph, cfg)
 
     def lm_cond(st):

@@ -1,6 +1,7 @@
 from .feature_extraction import FeatureExtractionConfig, extract_features, ScanFeatures
 from .odometry import AloamOdometry, AloamOdometryConfig
 from .mapping import AloamMapping, AloamMappingConfig
+from .pipeline import AloamPipeline, AloamState, aloam_step, init_aloam_state
 
 __all__ = [
     "FeatureExtractionConfig",
@@ -10,4 +11,8 @@ __all__ = [
     "AloamOdometryConfig",
     "AloamMapping",
     "AloamMappingConfig",
+    "AloamPipeline",
+    "AloamState",
+    "aloam_step",
+    "init_aloam_state",
 ]

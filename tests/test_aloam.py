@@ -120,3 +120,58 @@ class TestMapping:
         assert ate_map < 0.4, (ate_map, ate_odom)
         # mapping should not be (much) worse than raw odometry
         assert ate_map <= ate_odom * 1.5 + 0.05
+
+
+class TestFusedPipeline:
+    def test_matches_staged_stages(self, corridor):
+        """aloam_step (one device program per sweep) == the staged
+        AloamOdometry + AloamMapping wrappers, pose for pose."""
+        from lidar_slam_tpu.pipeline.aloam import (
+            AloamPipeline,
+            extract_features,
+        )
+
+        traj = make_trajectory(5, speed=0.8)
+        sweeps = [spin(corridor, traj[i], t=i * 0.1, seed=100 + i) for i in range(5)]
+
+        odo_cfg = AloamOdometryConfig()
+        map_cfg = AloamMappingConfig(
+            corner_map_capacity=16384, surf_map_capacity=32768
+        )
+        odo = AloamOdometry(odo_cfg)
+        mapping = AloamMapping(map_cfg)
+        staged = []
+        for pts, mask in sweeps:
+            f = extract_features(pts, mask, FE)
+            T_odom = odo.update(f)
+            staged.append(mapping.update(f, T_odom))
+
+        pipe = AloamPipeline(FE, odo_cfg, map_cfg)
+        fused = []
+        for pts, mask in sweeps:
+            import numpy as _np
+
+            p = _np.asarray(pts)
+            m = _np.asarray(mask)
+            pose, _ = pipe.update(p, m)
+            fused.append(pose)
+
+        for i, (a, b) in enumerate(zip(staged, fused)):
+            np.testing.assert_allclose(b, a, atol=5e-4, err_msg=f"sweep {i}")
+
+    def test_tracks_motion(self, corridor):
+        from lidar_slam_tpu.pipeline.aloam import AloamPipeline
+
+        traj = make_trajectory(6, speed=0.8)
+        pipe = AloamPipeline(
+            FE,
+            AloamOdometryConfig(),
+            AloamMappingConfig(corner_map_capacity=16384, surf_map_capacity=32768),
+        )
+        pipe.set_init_pose(traj[0])
+        errs = []
+        for i in range(6):
+            pts, mask = spin(corridor, traj[i], t=i * 0.1, seed=200 + i)
+            pose, _ = pipe.update(np.asarray(pts), np.asarray(mask))
+            errs.append(np.linalg.norm(pose[:3, 3] - traj[i][:3, 3]))
+        assert np.mean(errs[1:]) < 0.25, errs
