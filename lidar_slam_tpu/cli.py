@@ -68,19 +68,30 @@ def _run_mapping(args) -> int:
     cfg = load_config(args.config)
     store = KeyframeStore(args.out, resume=False)
     if getattr(args, "front_end", "ndt") == "aloam":
-        fe = _AloamFrontEnd()
+        fe = _AloamFrontEnd(capacity=65536 if getattr(args, "synthetic", None) else 131072)
     else:
         fe = FrontEnd(cfg.front_end)
     be = BackEnd(cfg.back_end, store=store)
     lc = LoopClosing(cfg.loop_closing, store=store, data_path=args.out)
     viewer = Viewer(cfg.viewer, store)
 
-    frames = _prefetch(_frame_source(args))
+    def _stage(source):
+        # device upload happens on the prefetch thread: frame i+1's H2D
+        # overlaps frame i's compute (see FrontEnd.preload)
+        for frame in source:
+            if hasattr(fe, "preload"):
+                frame["preloaded"] = fe.preload(frame["points"])
+            yield frame
+
+    frames = _prefetch(_stage(_frame_source(args)))
     est = []
     gt = []
     t_start = time.time()
     for i, frame in enumerate(frames):
-        pose, _ = fe.update(frame["points"], bboxes=frame.get("bboxes"))
+        pose, _ = fe.update(
+            frame["points"], bboxes=frame.get("bboxes"),
+            preloaded=frame.get("preloaded"),
+        )
         est.append(pose)
         if frame.get("gt_pose") is not None:
             gt.append(frame["gt_pose"])
@@ -150,16 +161,17 @@ def _run_matching(args) -> int:
     return 0
 
 
-def _AloamFrontEnd():
+def _AloamFrontEnd(capacity: int = 131072):
     """A-LOAM front end behind the FrontEnd.update API — the
     mapping_with_aloam.launch wiring (A-LOAM odometry+mapping feeding the
     lidar_localization back end), fused into one device program per sweep
-    (pipeline/aloam/pipeline.py)."""
+    (pipeline/aloam/pipeline.py). `capacity` sizes the padded sweep (131072
+    covers KITTI HDL-64; the synthetic spinning simulator emits 65536)."""
     from .pipeline.aloam import AloamPipeline, FeatureExtractionConfig
 
     return AloamPipeline(
         FeatureExtractionConfig(
-            n_scans=64, min_range=2.5, capacity=131072,
+            n_scans=64, min_range=2.5, capacity=capacity,
             max_sharp=1024, max_less_sharp=8192, max_flat=2048, max_less_flat=16384,
         )
     )

@@ -94,6 +94,13 @@ class NDTConfig:
     # (keeps CPU tests on the fast XLA path instead of the Pallas
     # interpreter). Pipeline configs default to 'auto'.
     gather: str = "two_level"
+    # materialize the dense per-voxel stats views (mean/icov/valid over the
+    # full grid) at map-finalize time. The ALIGN path reads only the compact
+    # packed table; the dense views serve ndt_fitness_score and inspection.
+    # False skips them (1-element placeholders) — the [V, 3, 3] scatter-back
+    # dominates finalize cost at multi-million-voxel grids, and the front
+    # end's tracking maps never consume it.
+    dense_stats: bool = True
     # key-window width for gather='fused': per point tile the kernel only
     # compares/contracts against this many sorted keys around the tile's
     # voxel-id range. Must cover the worst-case occupied-key count within
@@ -376,12 +383,104 @@ def _moments_from_sums(
 def finalize_ndt_sums(sums: NDTMapSums, config: NDTConfig) -> NDTMap:
     """Condition the running sums into an NDTMap (centroid + clamped-inverse
     covariance + compact packed table) — the second half of
-    VoxelGrid::computeCentroidAndCovariance (VoxelGrid.cpp:272-325)."""
+    VoxelGrid::computeCentroidAndCovariance (VoxelGrid.cpp:272-325).
+
+    Compact-first all the way from the SUMS: the dense stages are one count
+    clean-up, one cumsum, the (fitness-consumed) dense mean, and cheap
+    scatters — the second moments, covariance, and eigendecomposition touch
+    only the <=max_compact_voxels gathered rows. Avoids materializing the
+    [V, 3, 3] dense covariance (~150 MB at KITTI grids) entirely; this runs
+    once per keyframe on the incremental-map path."""
     dims = sums.dims
-    count, mean, cov, staticvalue = _moments_from_sums(
-        sums.origin, sums.count, sums.psum, sums.ppsum, sums.wsum, dims, sums.resolution
+    v = dims[0] * dims[1] * dims[2]
+    res = jnp.float32(sums.resolution)
+    cap = config.max_compact_voxels
+
+    count = jnp.maximum(sums.count, 0.0)
+    count = jnp.where(count < 0.5, 0.0, count)
+    n = jnp.maximum(count, 1.0)
+    idx = jnp.arange(v, dtype=jnp.int32)
+    origin_cells = jnp.round(sums.origin / res).astype(jnp.int32)
+
+    def corner_of(vid):
+        cz = vid % dims[2]
+        cy = (vid // dims[2]) % dims[1]
+        cx = vid // (dims[1] * dims[2])
+        return (
+            origin_cells[None, :] + jnp.stack([cx, cy, cz], axis=-1)
+        ).astype(jnp.float32) * res
+
+    if config.dense_stats:
+        # dense mean: consumed by ndt_fitness_score's nearest-centroid search
+        mean = corner_of(idx) + sums.psum / n[:, None]
+        staticvalue = sums.wsum / n
+    else:
+        mean = jnp.zeros((1, 3), jnp.float32)
+        staticvalue = jnp.zeros((1,), jnp.float32)
+
+    occupied = count >= float(config.min_points_per_voxel)
+    pos = jnp.cumsum(occupied.astype(jnp.int32)) - 1
+    in_cap = occupied & (pos < cap)
+    index = jnp.where(in_cap, pos, cap).astype(jnp.int32)
+    scatter_to = jnp.where(in_cap, pos, cap)
+    keys = jnp.full((cap + 1,), -1, jnp.int32).at[scatter_to].set(
+        jnp.where(in_cap, idx, -1), mode="drop"
     )
-    return _condition_and_pack(sums.origin, count, mean, cov, staticvalue, dims, config)
+    keys = keys.at[cap].set(-1)
+    chas = keys >= 0
+    cvid = jnp.maximum(keys, 0)
+
+    # compact moments from the gathered raw sums ([cap+1] rows only)
+    c_count = jnp.where(chas, count[cvid], 0.0)
+    c_n = jnp.maximum(c_count, 1.0)
+    c_rel = sums.psum[cvid] / c_n[:, None]
+    c_pp = sums.ppsum[cvid] / c_n[:, None]
+    c_cov = jnp.stack(
+        [
+            c_pp[:, 0] - c_rel[:, 0] * c_rel[:, 0],
+            c_pp[:, 1] - c_rel[:, 0] * c_rel[:, 1],
+            c_pp[:, 2] - c_rel[:, 0] * c_rel[:, 2],
+            c_pp[:, 1] - c_rel[:, 0] * c_rel[:, 1],
+            c_pp[:, 3] - c_rel[:, 1] * c_rel[:, 1],
+            c_pp[:, 4] - c_rel[:, 1] * c_rel[:, 2],
+            c_pp[:, 2] - c_rel[:, 0] * c_rel[:, 2],
+            c_pp[:, 4] - c_rel[:, 1] * c_rel[:, 2],
+            c_pp[:, 5] - c_rel[:, 2] * c_rel[:, 2],
+        ],
+        axis=-1,
+    ).reshape(-1, 3, 3)
+    c_cov = c_cov * ((c_n - 1.0) / c_n)[:, None, None]
+    c_mean = jnp.where(chas[:, None], corner_of(cvid) + c_rel, 0.0)
+    c_sv = jnp.where(chas, sums.wsum[cvid] / c_n, 0.0)
+
+    c_rows, c_icov, c_valid = _condition_rows(c_count, c_mean, c_cov, c_sv, config)
+    c_valid = c_valid & chas
+    c_rows = jnp.where(chas[:, None], c_rows, 0.0)
+    c_rows = c_rows.at[:, 10].set(c_valid.astype(jnp.float32))
+    c_rows = c_rows.at[cap].set(0.0)  # zero sentinel row (valid flag = 0)
+    c_icov = jnp.where(c_valid[:, None, None], c_icov, 0.0)
+
+    if config.dense_stats:
+        icov = jnp.zeros((v, 3, 3), jnp.float32).at[cvid].set(
+            jnp.where(chas[:, None, None], c_icov, 0.0), mode="drop"
+        )
+        valid = jnp.zeros((v,), bool).at[cvid].set(c_valid, mode="drop")
+    else:
+        icov = jnp.zeros((1, 3, 3), jnp.float32)
+        valid = jnp.zeros((1,), bool)
+    return NDTMap(
+        origin=sums.origin,
+        count=count,
+        mean=mean,
+        icov=icov,
+        staticvalue=staticvalue,
+        valid=valid,
+        index=index,
+        packed=c_rows,
+        keys=keys,
+        dims=dims,
+        resolution=config.resolution,
+    )
 
 
 def build_ndt_map(cloud: PointCloud, config: NDTConfig, origin=None) -> NDTMap:

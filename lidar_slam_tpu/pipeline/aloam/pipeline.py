@@ -144,15 +144,23 @@ class AloamPipeline:
     def set_init_pose(self, pose) -> None:
         self.T0 = np.asarray(pose, np.float32)
 
-    def update(self, points, mask=None, bboxes=None):
-        """FrontEnd-compatible API: raw sweep in, world pose out."""
+    def preload(self, points, mask=None):
+        """Pad + upload one sweep (callable from a prefetch thread — see
+        FrontEnd.preload for the overlap rationale)."""
         pts = np.zeros((self.fe_cfg.capacity, 3), np.float32)
         msk = np.zeros(self.fe_cfg.capacity, bool)
         n = min(len(points), self.fe_cfg.capacity)
         pts[:n] = np.asarray(points, np.float32)[:n]
-        msk[:n] = True if mask is None else np.asarray(mask, bool)[:n]
+        if mask is None:
+            msk[:n] = True
+        else:
+            msk[:n] = np.asarray(mask, bool)[:n]
+        return jnp.asarray(pts), jnp.asarray(msk)
+
+    def update(self, points, mask=None, bboxes=None, preloaded=None):
+        """FrontEnd-compatible API: raw sweep in, world pose out."""
+        pts, msk = preloaded if preloaded is not None else self.preload(points, mask)
         self.state, T_map, _ = aloam_step(
-            self.state, jnp.asarray(pts), jnp.asarray(msk),
-            self.fe_cfg, self.odo_cfg, self.map_cfg,
+            self.state, pts, msk, self.fe_cfg, self.odo_cfg, self.map_cfg
         )
         return (self.T0 @ np.asarray(T_map)).astype(np.float32), False

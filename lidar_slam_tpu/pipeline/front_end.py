@@ -297,25 +297,34 @@ class FrontEnd:
     def set_init_pose(self, pose) -> None:
         self.init_pose = np.asarray(pose, np.float32)
 
-    def update(self, points, mask=None, bboxes=None):
-        """Process one scan. Returns (pose [4,4] np, is_keyframe bool).
-
-        `points` [N, 3]; `mask` [N] optional; `bboxes` [B, 8] optional
-        detector boxes in the sensor frame (x,y,z,dx,dy,dz,heading,score) —
-        replaces ImportBBOXFromFile's hard-coded txt path (cpp:427-530).
-        """
+    def preload(self, points, mask=None):
+        """Pad to raw capacity and upload to the device. Safe to call from a
+        prefetch thread (cli._prefetch does): the pad + host->device transfer
+        of frame i+1 then overlaps frame i's compute instead of sitting on
+        the tracking critical path."""
         cfg = self.cfg
         points = np.asarray(points, np.float32)
         if mask is None:
             mask = np.ones(len(points), bool)
         else:
             mask = np.asarray(mask, bool)
-        # pad/truncate to the static raw capacity (shape-stable jit)
         n = min(len(points), cfg.raw_capacity)
         pts_fixed = np.zeros((cfg.raw_capacity, 3), np.float32)
         msk_fixed = np.zeros(cfg.raw_capacity, bool)
         pts_fixed[:n] = points[:n]
         msk_fixed[:n] = mask[:n]
+        return jnp.asarray(pts_fixed), jnp.asarray(msk_fixed)
+
+    def update(self, points, mask=None, bboxes=None, preloaded=None):
+        """Process one scan. Returns (pose [4,4] np, is_keyframe bool).
+
+        `points` [N, 3]; `mask` [N] optional; `bboxes` [B, 8] optional
+        detector boxes in the sensor frame (x,y,z,dx,dy,dz,heading,score) —
+        replaces ImportBBOXFromFile's hard-coded txt path (cpp:427-530).
+        `preloaded` optionally carries this scan's `preload()` result.
+        """
+        cfg = self.cfg
+        pts_fixed, msk_fixed = preloaded if preloaded is not None else self.preload(points, mask)
 
         if self.n_keyframes == 0:
             frame = _preprocess(
@@ -428,8 +437,11 @@ class FrontEnd:
                     self.map_bbox_cursor += 1
 
         if cfg.incremental_map:
-            fine_cfg = cfg.ndt
-            coarse_cfg = self._coarse_map_cfg()
+            # tracking maps feed ONLY the align path (compact packed table);
+            # skip the dense mean/icov/valid views — their [V, 3, 3]
+            # scatter-back dominates per-keyframe finalize cost (ndt.py)
+            fine_cfg = dataclasses.replace(cfg.ndt, dense_stats=False)
+            coarse_cfg = dataclasses.replace(self._coarse_map_cfg(), dense_stats=False)
             center = np.asarray(pose, np.float32)[:3, 3]
             origin_f = self._lattice_origin(center, fine_cfg)
             origin_c = self._lattice_origin(center, coarse_cfg)

@@ -26,6 +26,33 @@ class TestPrefetch:
 
 
 @pytest.mark.slow
+class TestCliAloamSmoke:
+    def test_mapping_with_aloam_front_end(self, tmp_path):
+        """The mapping_with_aloam.launch wiring through the CLI: fused A-LOAM
+        front end feeding the back end / loop closing / viewer."""
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        out_dir = str(tmp_path / "run")
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        launcher = (
+            "import jax; jax.config.update('jax_platforms','cpu');"
+            "from lidar_slam_tpu.cli import main; import sys; sys.exit(main(sys.argv[1:]))"
+        )
+        r = subprocess.run(
+            [sys.executable, "-c", launcher, "mapping", "--synthetic", "8",
+             "--front-end", "aloam", "--out", out_dir,
+             "--config", "configs/synthetic_small.yaml"],
+            capture_output=True, text=True, env=env, cwd=repo, timeout=1200,
+        )
+        assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+        assert "mapping done" in r.stdout
+        ate_line = [l for l in r.stdout.splitlines() if "ATE vs ground truth" in l]
+        assert ate_line, r.stdout[-1000:]
+        ate = float(ate_line[0].split(":")[1].replace("m", "").strip())
+        assert ate < 1.0, ate
+
+
+@pytest.mark.slow
 class TestCliSmoke:
     def test_mapping_then_matching_synthetic(self, tmp_path):
         """End-to-end CLI smoke on CPU with the small config."""
