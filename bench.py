@@ -446,8 +446,14 @@ def main():
     if cpu_fps:
         _emit("ndt_cpu_fps", cpu_fps, "frames/s")
         _log(f"TPU/CPU speedup: {fps_tpu/cpu_fps:.2f}x (target >= 5x)")
-    vs = fps_tpu / cpu_fps if cpu_fps else fps_tpu / 10.0
-    _emit("ndt_scan_match_fps", fps_tpu, "frames/s", vs_baseline=vs)
+        _emit("ndt_scan_match_fps", fps_tpu, "frames/s",
+              vs_baseline=fps_tpu / cpu_fps, baseline="cpu")
+    else:
+        # the CPU subprocess died: fall back to real-time multiples but SAY SO
+        # (a 'x CPU' and a 'x 10 Hz' number must never be confusable)
+        _log("WARNING: CPU baseline leg missing — vs_baseline is fps/10Hz, NOT x-CPU")
+        _emit("ndt_scan_match_fps", fps_tpu, "frames/s",
+              vs_baseline=fps_tpu / 10.0, baseline="realtime_10hz")
     return 0
 
 

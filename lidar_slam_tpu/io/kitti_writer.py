@@ -27,10 +27,11 @@ from typing import Iterable, Optional
 import numpy as np
 
 from ..geom.enu import enu_to_geodetic
-from ..geom.se3 import matrix_to_euler_zyx
+from ..geom.se3 import matrix_to_euler_zyx, so3_log
 
 # OXTS record has 30 fields (KITTI raw devkit): we populate lat/lon/alt,
-# roll/pitch/yaw, vn/ve (6:8) and wx/wy/wz (17:20); the rest stay zero.
+# roll/pitch/yaw, vn/ve (6:8), body vf/vl/vu (8:11) and body angular rates
+# wx/wy/wz (17:20, from frame-to-frame pose deltas); the rest stay zero.
 _OXTS_FIELDS = 30
 
 
@@ -82,6 +83,7 @@ def write_kitti_raw_drive(
     bbox_frames = {}
     lat0, lon0, alt0 = origin
     prev_pos = None
+    prev_rot = None
     base_t = 8 * 3600.0  # 08:00:00, arbitrary
     for i, frame in enumerate(frames):
         pts = np.asarray(frame["points"], np.float32)
@@ -100,7 +102,15 @@ def write_kitti_raw_drive(
         vel_enu = (
             (pose[:3, 3] - prev_pos) / dt if prev_pos is not None else np.zeros(3)
         )
+        if prev_rot is not None:
+            # body angular rate from the relative rotation over one frame
+            w_body = np.asarray(
+                so3_log(np.asarray(prev_rot.T @ pose[:3, :3], np.float32))
+            ) / dt
+        else:
+            w_body = np.zeros(3)
         prev_pos = pose[:3, 3].copy()
+        prev_rot = pose[:3, :3].copy()
         rec = np.zeros(_OXTS_FIELDS)
         rec[0:3] = [lat, lon, alt]
         rec[3:6] = [roll, pitch, yaw]
@@ -109,6 +119,7 @@ def write_kitti_raw_drive(
         # body-frame forward/left/up velocity
         v_body = pose[:3, :3].T @ vel_enu
         rec[8:11] = v_body
+        rec[17:20] = w_body  # wx/wy/wz — consumed by KittiRawReader as rates
         np.savetxt(
             os.path.join(oxts_dir, f"{i:010d}.txt"), rec[None, :], fmt="%.12g"
         )

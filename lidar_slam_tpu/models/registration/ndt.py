@@ -461,10 +461,13 @@ def finalize_ndt_sums(sums: NDTMapSums, config: NDTConfig) -> NDTMap:
     c_icov = jnp.where(c_valid[:, None, None], c_icov, 0.0)
 
     if config.dense_stats:
-        icov = jnp.zeros((v, 3, 3), jnp.float32).at[cvid].set(
-            jnp.where(chas[:, None, None], c_icov, 0.0), mode="drop"
-        )
-        valid = jnp.zeros((v,), bool).at[cvid].set(c_valid, mode="drop")
+        # sentinel rows (keys == -1) scatter to the out-of-range index v so
+        # mode="drop" discards them; clamping them to 0 instead could
+        # nondeterministically clobber an occupied voxel 0 (duplicate-index
+        # scatter order is unspecified)
+        svid = jnp.where(chas, cvid, v)
+        icov = jnp.zeros((v, 3, 3), jnp.float32).at[svid].set(c_icov, mode="drop")
+        valid = jnp.zeros((v,), bool).at[svid].set(c_valid, mode="drop")
     else:
         icov = jnp.zeros((1, 3, 3), jnp.float32)
         valid = jnp.zeros((1,), bool)
@@ -629,11 +632,12 @@ def _condition_and_pack(origin, count, mean, cov, staticvalue, dims, config: NDT
     c_rows = c_rows.at[cap].set(0.0)  # zero sentinel row (valid flag = 0)
     c_icov = jnp.where(c_valid[:, None, None], c_icov, 0.0)
 
-    # dense API views (fitness/tests): scatter the conditioned table back
-    icov = jnp.zeros((v, 3, 3), jnp.float32).at[cvid].set(
-        jnp.where(chas[:, None, None], c_icov, 0.0), mode="drop"
-    )
-    valid = jnp.zeros((v,), bool).at[cvid].set(c_valid, mode="drop")
+    # dense API views (fitness/tests): scatter the conditioned table back.
+    # Sentinel rows go to the out-of-range index v (dropped) rather than
+    # being clamped to 0, where they could clobber an occupied voxel 0.
+    svid = jnp.where(chas, cvid, v)
+    icov = jnp.zeros((v, 3, 3), jnp.float32).at[svid].set(c_icov, mode="drop")
+    valid = jnp.zeros((v,), bool).at[svid].set(c_valid, mode="drop")
     return NDTMap(
         origin=origin,
         count=count,

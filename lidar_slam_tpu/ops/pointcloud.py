@@ -124,9 +124,12 @@ def voxel_downsample(cloud: PointCloud, leaf_size, out_capacity: Optional[int] =
     big_c = jnp.int32(2**20)
     cmin = jnp.min(jnp.where(mask[:, None], coords, big_c), axis=0)
     rel = coords - cmin
-    rel = jnp.clip(rel, 0, jnp.asarray([2047, 2047, 511], jnp.int32))
+    # z clips to 510 (not 511) so the max packable key is int32max - 1 and
+    # the invalid sentinel int32max is strictly greater than every valid key
+    # (invalid points must sort last, not merge into a boundary voxel).
+    rel = jnp.clip(rel, 0, jnp.asarray([2047, 2047, 510], jnp.int32))
     key = (rel[:, 0] << 20) | (rel[:, 1] << 9) | rel[:, 2]
-    key = jnp.where(mask, key, jnp.int32(2**30))  # invalid sorts last
+    key = jnp.where(mask, key, jnp.iinfo(jnp.int32).max)  # invalid sorts last
 
     order = jnp.argsort(key)
     sk = key[order]

@@ -31,6 +31,7 @@ import numpy as np
 from ...geom.se3 import se3_exp, so3_hat, transform_points
 from ...ops.eigh3 import sym_eigh3
 from ...ops.hashgrid import build_bucket_grid, knn_query
+from ...ops.linalg3 import solve3
 from ...ops.pointcloud import PointCloud, voxel_downsample
 from .feature_extraction import ScanFeatures
 
@@ -57,6 +58,26 @@ class AloamMappingConfig:
     knn: str = "auto"
     knn_window: int = 2048
     knn_tile: int = 128
+    # incoming feature stacks are voxel-downsampled at line/plane res before
+    # matching and folding (downSizeFilterCorner/Surf, laserMapping.cpp:556-566)
+    stack_corner_capacity: int = 8192
+    stack_surf_capacity: int = 16384
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def downsample_stacks(
+    cur_corner: PointCloud, cur_surf: PointCloud, cfg: AloamMappingConfig
+) -> Tuple[PointCloud, PointCloud]:
+    """The corner/surf *stacks* — current features voxel-downsampled at the
+    map resolutions — are what both scan-to-map matching and the map fold
+    consume (laserCloudCornerStack/SurfStack, laserMapping.cpp:556-566)."""
+    c = voxel_downsample(
+        cur_corner, cfg.line_res, out_capacity=cfg.stack_corner_capacity
+    ).replace(weights=None)
+    s = voxel_downsample(
+        cur_surf, cfg.plane_res, out_capacity=cfg.stack_surf_capacity
+    ).replace(weights=None)
+    return c, s
 
 
 def _huber_w(rnorm, delta):
@@ -137,7 +158,7 @@ def mapping_step(
         all5_s = jnp.all(ok_s, axis=-1) & cur_surf.mask
         AtA = jnp.einsum("nki,nkj->nij", nns, nns) + 1e-6 * jnp.eye(3)
         Atb = -jnp.sum(nns, axis=1)  # A^T * (-1 vector)
-        n_raw = jnp.linalg.solve(AtA, Atb[..., None])[..., 0]  # [N, 3]
+        n_raw = solve3(AtA, Atb)  # [N, 3] — adjugate beats batched LU ~20x
         n_norm = jnp.linalg.norm(n_raw, axis=-1, keepdims=True)
         n_hat = n_raw / jnp.maximum(n_norm, 1e-9)
         d_plane = 1.0 / jnp.maximum(n_norm[:, 0], 1e-9)
@@ -195,7 +216,10 @@ def map_update(
         msk = jnp.concatenate([m.mask, cur.mask], axis=0)
         inside = jnp.all(jnp.abs(pts - pos) <= cfg.crop_radius, axis=-1)
         cloud = PointCloud(points=pts, mask=msk & inside)
-        return voxel_downsample(cloud, leaf, out_capacity=cap)
+        out = voxel_downsample(cloud, leaf, out_capacity=cap)
+        # keep the map pytree structure identical to the init state (no
+        # weights leaf): AloamState must be a stable lax.scan carry
+        return out.replace(weights=None)
 
     new_corner = fold(corner_map, cur_corner, cfg.line_res, cfg.corner_map_capacity)
     new_surf = fold(surf_map, cur_surf, cfg.plane_res, cfg.surf_map_capacity)
@@ -223,8 +247,9 @@ class AloamMapping:
         pose. `features`: the sweep's less_sharp/less_flat clouds."""
         T_odom = np.asarray(T_odom, np.float32)
         guess = self.T_map_odom @ T_odom  # transformAssociateToMap
-        cur_corner = features.less_sharp
-        cur_surf = features.less_flat
+        cur_corner, cur_surf = downsample_stacks(
+            features.less_sharp, features.less_flat, self.cfg
+        )
 
         if self._initialized:
             T_map = np.asarray(
