@@ -1,7 +1,7 @@
 from .feature_extraction import FeatureExtractionConfig, extract_features, ScanFeatures
 from .odometry import AloamOdometry, AloamOdometryConfig
 from .mapping import AloamMapping, AloamMappingConfig
-from .pipeline import AloamPipeline, AloamState, aloam_step, init_aloam_state
+from .pipeline import AloamPipeline, AloamState, aloam_drive, aloam_step, init_aloam_state
 
 __all__ = [
     "FeatureExtractionConfig",
@@ -13,6 +13,7 @@ __all__ = [
     "AloamMappingConfig",
     "AloamPipeline",
     "AloamState",
+    "aloam_drive",
     "aloam_step",
     "init_aloam_state",
 ]

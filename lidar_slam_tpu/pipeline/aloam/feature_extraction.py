@@ -13,9 +13,14 @@ as fixed-shape JAX:
 - greedy neighbour suppression: +-5 ring neighbours of every pick are
   blocked unless a >0.05 m^2 gap interrupts (:319-342).
 
-The sequential per-sector curvature sort becomes K rounds of masked
-segment-max (argmax per sector per round, all sectors in parallel), which
-reproduces the greedy pick+suppress semantics exactly.
+The sequential per-sector curvature sort becomes: ONE sort of all points by
+(sector, curvature), compaction of the top/bottom candidates of every sector
+into a small dense [n_sectors, M] table, then the greedy pick+suppress rounds
+run on that table (argmax per sector per round, all sectors in parallel).
+Per-point suppression reach (how many +-ring-neighbours a pick blocks before
+a >gap break) is precomputed once, so each greedy round costs O(sectors * M)
+instead of O(capacity) segment reductions — the dominant cost becomes two
+O(n log n) sorts instead of 24 full-array segment-max sweeps.
 """
 
 from __future__ import annotations
@@ -112,14 +117,19 @@ def _relative_time(points, mask, scan_period: float):
 
 
 def _compact_topk(points, ring, time, sel_mask, cap: int):
-    """Gather selected points into a fixed-size cloud (mask-compact)."""
-    order = jnp.argsort(~sel_mask, stable=True)  # selected first, order kept
-    take = order[:cap]
-    ok = sel_mask[take]
+    """Gather selected points into a fixed-size cloud (mask-compact, stable
+    order) via cumsum + scatter — cheaper than a stable argsort."""
+    idx = jnp.cumsum(sel_mask.astype(jnp.int32)) - 1
+    dest = jnp.where(sel_mask & (idx < cap), idx, cap)  # overflow slot dropped
+    pts = jnp.zeros((cap + 1, 3), points.dtype).at[dest].set(points)[:cap]
+    rng = jnp.zeros((cap + 1,), ring.dtype).at[dest].set(ring)[:cap]
+    tim = jnp.zeros((cap + 1,), time.dtype).at[dest].set(time)[:cap]
+    total = jnp.minimum(jnp.sum(sel_mask.astype(jnp.int32)), cap)
+    ok = jnp.arange(cap) < total
     return (
-        PointCloud(points=jnp.where(ok[:, None], points[take], 0.0), mask=ok),
-        jnp.where(ok, ring[take], 0),
-        jnp.where(ok, time[take], 0.0),
+        PointCloud(points=jnp.where(ok[:, None], pts, 0.0), mask=ok),
+        jnp.where(ok, rng, 0),
+        jnp.where(ok, tim, 0.0),
     )
 
 
@@ -167,64 +177,126 @@ def extract_features(points, mask, cfg: FeatureExtractionConfig = FeatureExtract
     seg = ring_seg * cfg.n_sectors + sector  # [n] sector id
     n_segs = (cfg.n_scans + 1) * cfg.n_sectors
 
-    # gap^2 to the next point in ring order (suppression break condition)
+    # --- suppression reach: a pick at ring position p blocks p+l (l <= Lf[p])
+    # and p-l (l <= Lb[p]) — consecutive-gap chain unbroken and same ring
+    # (the cloudNeighborPicked marking loop, scanRegistration.cpp:319-342)
     nxt = jnp.roll(pts, -1, axis=0)
-    gap_sq = jnp.sum((nxt - pts) ** 2, axis=-1)
-    gap_ok_fwd = gap_sq <= cfg.suppress_gap_sq
-    prv = jnp.roll(pts, 1, axis=0)
-    gap_ok_bwd = jnp.sum((pts - prv) ** 2, axis=-1) <= cfg.suppress_gap_sq
+    gap_ok_fwd = jnp.sum((nxt - pts) ** 2, axis=-1) <= cfg.suppress_gap_sq  # gap (i, i+1)
+    gap_ok_bwd = jnp.roll(gap_ok_fwd, 1, axis=0)  # gap (i-1, i)
+    run_f = jnp.ones_like(msk)
+    run_b = jnp.ones_like(msk)
+    reach_f = jnp.zeros(n, jnp.int32)
+    reach_b = jnp.zeros(n, jnp.int32)
+    for l in range(1, 6):
+        run_f = run_f & jnp.roll(gap_ok_fwd, -(l - 1), axis=0) & (jnp.roll(rng_s, -l, axis=0) == rng_s)
+        reach_f = reach_f + run_f
+        run_b = run_b & jnp.roll(gap_ok_bwd, l - 1, axis=0) & (jnp.roll(rng_s, l, axis=0) == rng_s)
+        reach_b = reach_b + run_b
 
-    def suppress(picked, suppressed):
-        """Block +-5 ring neighbours of picked points, stopping at gaps."""
-        ok_f = jnp.ones_like(picked)
-        ok_b = jnp.ones_like(picked)
-        for l in range(1, 6):
-            ok_f = ok_f & jnp.roll(gap_ok_fwd, l, axis=0)  # gap between l-1 and l steps back
-            hit_f = jnp.roll(picked, l, axis=0) & ok_f
-            ok_b = ok_b & jnp.roll(gap_ok_bwd, -l, axis=0)
-            hit_b = jnp.roll(picked, -l, axis=0) & ok_b
-            same_ring_f = jnp.roll(rng_s, l, axis=0) == rng_s
-            same_ring_b = jnp.roll(rng_s, -l, axis=0) == rng_s
-            suppressed = suppressed | (hit_f & same_ring_f) | (hit_b & same_ring_b)
-        return suppressed
-
-    def greedy_pick(eligible, want_max: bool, k: int, suppressed):
-        """K rounds of per-sector argmax (or argmin) + neighbour suppression —
-        the vectorized equivalent of the sorted greedy loop (:293-385)."""
-        picked_all = jnp.zeros_like(msk)
-        key_base = curv if want_max else -curv
-        for _ in range(k):
-            cand = eligible & ~suppressed & ~picked_all
-            key = jnp.where(cand, key_base, -jnp.inf)
-            best = jax.ops.segment_max(key, seg, num_segments=n_segs)
-            is_best = cand & (key == best[seg]) & jnp.isfinite(key)
-            # break ties by lowest position: keep the first occurrence per sector
-            first_pos = jax.ops.segment_min(
-                jnp.where(is_best, jnp.arange(pts.shape[0]), jnp.int32(2**30)),
-                seg,
-                num_segments=n_segs,
-            )
-            pick = is_best & (jnp.arange(pts.shape[0]) == first_pos[seg])
-            picked_all = picked_all | pick
-            suppressed = suppress(pick, suppressed)
-        return picked_all, suppressed
-
+    # --- candidate compaction: ONE ascending sort by (sector, curvature).
+    # Flat candidates are each sector block's head (smallest curvature),
+    # corner candidates its tail reversed (largest) — both from the same sort.
     eligible = msk & feat_ok
-    suppressed = jnp.zeros_like(msk)
+    curv_nn = jnp.maximum(curv, 0.0)  # kill -0.0 so the bit pattern is monotone
+    curv_bits = jax.lax.bitcast_convert_type(curv_nn, jnp.int32)
+    seg_or = jnp.where(eligible, seg, n_segs)
+    # lexicographic (seg asc, curv asc) via two stable int32 sorts — int64
+    # keys are unavailable without x64 mode
+    o1 = jnp.argsort(curv_bits)
+    order = o1[jnp.argsort(seg_or[o1])]
 
-    sharp_sel, suppressed = greedy_pick(
-        eligible & (curv > cfg.curvature_threshold), True, cfg.sharp_per_sector, suppressed
+    elig_counts = jax.ops.segment_sum(
+        eligible.astype(jnp.int32), seg_or, num_segments=n_segs + 1
     )
-    more_sharp, suppressed = greedy_pick(
-        eligible & (curv > cfg.curvature_threshold),
-        True,
-        cfg.less_sharp_per_sector - cfg.sharp_per_sector,
-        suppressed,
+    blk_start = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(elig_counts)[:-1].astype(jnp.int32)]
     )
-    less_sharp_sel = sharp_sel | more_sharp
-    flat_sel, suppressed = greedy_pick(
-        eligible & (curv < cfg.curvature_threshold), False, cfg.flat_per_sector, suppressed
+    blk_end = blk_start + elig_counts
+    seg_sorted = seg_or[order]
+    curv_sorted = curv_nn[order]
+    pos_in_sort = jnp.arange(n, dtype=jnp.int32)
+    rank_asc = pos_in_sort - blk_start[seg_sorted]
+    rank_desc = blk_end[seg_sorted] - 1 - pos_in_sort
+
+    n_rings = cfg.n_scans + 1
+    M_c = 256  # >= 20 picks x (1 pick + 10 suppressed) + cross-sector margin
+    M_f = 320  # flats also absorb suppression from the 20 corner picks
+
+    def compact_candidates(cand_ok, rank, m):
+        """[n_segs, m] table of ring positions (int32, -1 = empty)."""
+        dest = jnp.where(cand_ok & (rank < m), seg_sorted * m + rank, n_segs * m)
+        tbl = (
+            jnp.full((n_segs * m + 1,), -1, jnp.int32)
+            .at[dest]
+            .set(order.astype(jnp.int32))[: n_segs * m]
+        )
+        return tbl.reshape(n_rings, cfg.n_sectors, m)
+
+    in_seg = seg_sorted < n_segs
+    corner_cand = compact_candidates(
+        in_seg & (curv_sorted > cfg.curvature_threshold), rank_desc, M_c
     )
+    flat_cand = compact_candidates(
+        in_seg & (curv_sorted < cfg.curvature_threshold), rank_asc, M_f
+    )
+
+    def cand_attr(cand_pos, attr, fill):
+        safe = jnp.maximum(cand_pos, 0)
+        return jnp.where(cand_pos >= 0, attr[safe], fill)
+
+    def greedy_rounds(cand_pos, alive, k: int):
+        """k rounds: per sector take the first alive candidate (the table is
+        already best-first), then block ring neighbours within its reach —
+        the vectorized greedy loop (scanRegistration.cpp:293-385)."""
+        lf = cand_attr(cand_pos, reach_f, 0)
+        lb = cand_attr(cand_pos, reach_b, 0)
+
+        def round_fn(alive, _):
+            has = jnp.any(alive, axis=-1)  # [R, S]
+            fi = jnp.argmax(alive, axis=-1)
+            take = lambda a: jnp.take_along_axis(a, fi[..., None], axis=-1)[..., 0]
+            ppos = jnp.where(has, take(cand_pos), -1)
+            plf = take(lf)
+            plb = take(lb)
+            # picks of all sectors of the SAME ring can suppress a candidate
+            # (reach never crosses rings); d==0 removes the pick itself
+            d = cand_pos[:, :, :, None] - ppos[:, None, None, :]
+            supp = (ppos[:, None, None, :] >= 0) & (
+                ((d > 0) & (d <= plf[:, None, None, :]))
+                | ((d < 0) & (-d <= plb[:, None, None, :]))
+                | (d == 0)
+            )
+            alive = alive & ~jnp.any(supp, axis=-1)
+            return alive, (ppos, has)
+
+        alive, (ppos, pok) = jax.lax.scan(round_fn, alive, None, length=k)
+        return alive, ppos, pok  # picks: [k, R, S]
+
+    alive_c = corner_cand >= 0
+    _, cpick_pos, cpick_ok = greedy_rounds(corner_cand, alive_c, cfg.less_sharp_per_sector)
+
+    # corner picks suppress flat candidates (shared cloudNeighborPicked state)
+    alive_f = flat_cand >= 0
+    cp = jnp.swapaxes(cpick_pos, 0, 1).reshape(n_rings, -1)  # [R, k*S]
+    cl_f = cand_attr(cp, reach_f, 0)
+    cl_b = cand_attr(cp, reach_b, 0)
+    d = flat_cand[:, :, :, None] - cp[:, None, None, :]
+    supp = (cp[:, None, None, :] >= 0) & (
+        ((d > 0) & (d <= cl_f[:, None, None, :]))
+        | ((d < 0) & (-d <= cl_b[:, None, None, :]))
+    )
+    alive_f = alive_f & ~jnp.any(supp, axis=-1)
+    _, fpick_pos, fpick_ok = greedy_rounds(flat_cand, alive_f, cfg.flat_per_sector)
+
+    def scatter_sel(pick_pos, pick_ok):
+        p = pick_pos.reshape(-1)
+        ok = pick_ok.reshape(-1)
+        dest = jnp.where(ok & (p >= 0), p, n)
+        return jnp.zeros((n + 1,), bool).at[dest].set(True)[:n]
+
+    sharp_sel = scatter_sel(cpick_pos[: cfg.sharp_per_sector], cpick_ok[: cfg.sharp_per_sector])
+    less_sharp_sel = scatter_sel(cpick_pos, cpick_ok)
+    flat_sel = scatter_sel(fpick_pos, fpick_ok)
     # everything not picked as corner is less-flat (:371-378), incl. flats
     less_flat_sel = msk & ~less_sharp_sel
 

@@ -23,7 +23,7 @@ import numpy as np
 
 from ...ops.pointcloud import PointCloud
 from .feature_extraction import FeatureExtractionConfig, ScanFeatures, extract_features
-from .mapping import AloamMappingConfig, map_update, mapping_step
+from .mapping import AloamMappingConfig, downsample_stacks, map_update, mapping_step
 from .odometry import AloamOdometryConfig, odometry_step
 
 
@@ -99,12 +99,14 @@ def aloam_step(
     T_rel = jnp.where(state.has_prev, T_rel, eye)
     T_world = state.T_world @ T_rel
 
-    # scan-to-map refinement (laserMapping.cpp:571-727)
+    # scan-to-map refinement (laserMapping.cpp:571-727) on the res-matched
+    # feature stacks (downSizeFilterCorner/Surf, :556-566)
     guess = state.T_map_odom @ T_world
-    T_map = mapping_step(state.corner_map, state.surf_map, f.less_sharp, f.less_flat, guess, map_cfg)
+    stack_corner, stack_surf = downsample_stacks(f.less_sharp, f.less_flat, map_cfg)
+    T_map = mapping_step(state.corner_map, state.surf_map, stack_corner, stack_surf, guess, map_cfg)
     T_map = jnp.where(state.map_init, T_map, guess)
     corner_map, surf_map = map_update(
-        state.corner_map, state.surf_map, f.less_sharp, f.less_flat, T_map, map_cfg
+        state.corner_map, state.surf_map, stack_corner, stack_surf, T_map, map_cfg
     )
     # transformUpdate (laserMapping.cpp:148-152): wmap_T_wodom correction
     T_map_odom = T_map @ jnp.linalg.inv(T_world)
@@ -123,6 +125,28 @@ def aloam_step(
         map_init=jnp.asarray(True),
     )
     return new_state, T_map, T_world
+
+
+@partial(jax.jit, static_argnames=("fe_cfg", "odo_cfg", "map_cfg"))
+def aloam_drive(
+    state: AloamState,
+    points_seq,  # [T, capacity, 3]
+    mask_seq,  # [T, capacity]
+    fe_cfg: FeatureExtractionConfig,
+    odo_cfg: AloamOdometryConfig,
+    map_cfg: AloamMappingConfig,
+) -> Tuple[AloamState, jax.Array]:
+    """Chain a whole sweep sequence through one program (lax.scan): the
+    frame-to-frame dependency is preserved — this measures honest sequential
+    throughput — but host round-trips between sweeps are eliminated.
+    Returns (final state, T_map poses [T, 4, 4])."""
+
+    def one(st, inp):
+        pts, msk = inp
+        st, T_map, _ = aloam_step(st, pts, msk, fe_cfg, odo_cfg, map_cfg)
+        return st, T_map
+
+    return jax.lax.scan(one, state, (points_seq, mask_seq))
 
 
 class AloamPipeline:
@@ -164,3 +188,14 @@ class AloamPipeline:
             self.state, pts, msk, self.fe_cfg, self.odo_cfg, self.map_cfg
         )
         return (self.T0 @ np.asarray(T_map)).astype(np.float32), False
+
+    def update_batch(self, frames):
+        """Feed a list of (points, mask) sweeps through one scan-chained
+        program (aloam_drive); returns world poses [T, 4, 4]. Sequential
+        semantics are identical to repeated update() calls."""
+        pts = jnp.stack([self.preload(p, m)[0] for p, m in frames])
+        msk = jnp.stack([self.preload(p, m)[1] for p, m in frames])
+        self.state, T_maps = aloam_drive(
+            self.state, pts, msk, self.fe_cfg, self.odo_cfg, self.map_cfg
+        )
+        return np.einsum("ij,tjk->tik", self.T0, np.asarray(T_maps)).astype(np.float32)
