@@ -158,7 +158,7 @@ def scan_match_leg(name, cfg, workload, err_limit=0.10):
         f"{float(unres.max())}) — widen NDTConfig.fused_window"
     )
     assert errs.mean() <= err_limit, f"{name}: pose error guard failed ({errs.mean():.3f} m)"
-    return fps
+    return fps, float(np.mean(iters))
 
 
 def derivative_parity_gate(cfg, workload):
@@ -244,7 +244,32 @@ def pose_graph_leg():
     _log(f"[pose_graph] {n} nodes/{n} edges: {dt*1000:.1f} ms, {iters} LM iters, "
          f"chi2 {float(stats['chi2_before']):.2f} -> {float(stats['chi2_after']):.5f}")
     assert float(stats["chi2_after"]) < float(stats["chi2_before"]) * 0.05
-    return dt * 1000.0 / max(iters, 1), iters
+
+    # per-iteration rate measured over CHAINED solves: the axon transport
+    # costs ~25-30 ms per dispatch+fetch round trip, which at 12 iterations
+    # would masquerade as ~2.5 ms/iter of solver time. The reference's
+    # 3.66 ms/iter is pure g2o compute (its own wall clock around optimize(),
+    # g2o_graph_optimizer.cpp:38-52), so the honest comparison amortizes the
+    # transport over several back-to-back solves in one program.
+    reps = 8
+
+    @jax.jit
+    def chained(g):
+        def one(tot, _):
+            out, st = optimize_pose_graph(g, cfg)
+            return tot + st["iterations"], out.poses[0, 0, 0]
+        return jax.lax.scan(one, jnp.int32(0), None, length=reps)
+
+    tot, _ = chained(graph)
+    jax.device_get(tot)  # compile
+    t0 = time.time()
+    tot, _ = chained(graph)
+    tot = int(jax.device_get(tot))
+    dtc = time.time() - t0
+    ms_per_iter = dtc * 1000.0 / max(tot, 1)
+    _log(f"[pose_graph] chained x{reps}: {dtc*1000:.1f} ms, {tot} total iters "
+         f"-> {ms_per_iter:.2f} ms/iter")
+    return ms_per_iter, iters
 
 
 def front_end_leg(workload):
@@ -348,16 +373,139 @@ def aloam_leg():
         frames.append((pts, mask))
 
     t0 = time.time()
-    for i in range(2):  # warmup / compile
+    for i in range(2):  # state prime (per-frame step)
         pipe.update(*frames[i])
+    state_primed = pipe.state
+    pipe.update_batch(frames[2:])  # compile the T=10 chained program
+    pipe.state = state_primed  # rewind: measure the warm chained run
     _log(f"[aloam] warmup/compiles: {time.time()-t0:.1f}s")
     t0 = time.time()
-    poses = [pipe.update(*frames[i])[0] for i in range(2, 12)]
+    poses = pipe.update_batch(frames[2:])
     dt = time.time() - t0
     errs = [np.linalg.norm(poses[i][:3, 3] - traj[2 + i][:3, 3]) for i in range(10)]
-    _log(f"[aloam] {dt/10*1000:.1f} ms/frame, err mean {np.mean(errs):.3f} m")
+    _log(f"[aloam] {dt/10*1000:.1f} ms/frame (scan-chained), err mean {np.mean(errs):.3f} m")
     assert np.mean(errs) < 0.3, f"A-LOAM error guard ({np.mean(errs):.3f} m)"
     return 10 / dt
+
+
+def mfu_roofline(cfg, fps, iters_mean, n_slots):
+    """Analytic FLOP/byte accounting for the fused NDT kernel + an MFU metric.
+
+    Counts the per-(point, stencil-slot) work of one derivative evaluation
+    (the hot loop the reference runs per point x radius-neighbour,
+    NormalDistributionsTransform.cpp:391-445):
+
+      - one-hot selection contraction  [16, W] @ [W, T]: 2*16*W FLOP/point
+        (MXU) plus ~2*W compare/convert ops building the one-hot mask (VPU);
+      - Magnusson score/grad/Hessian math: ~300 FLOP/point (VPU).
+
+    Evaluations per frame = iterations + 1 (one derivative evaluation per
+    Newton step at the reference operating point, line search disabled —
+    max_step_iterations=0). HBM traffic per evaluation is the packed
+    per-point rows (31 f32 + 3 i32 per point); keys/table stay VMEM-resident.
+
+    Peaks: TPU v5e ~197 TFLOP/s bf16 / ~49 TFLOP/s f32 MXU, ~819 GB/s HBM.
+    """
+    n = FRAME_CAP
+    w = cfg.fused_window
+    evals = iters_mean + 1.0
+    mxu_flops = 2.0 * 16 * w * n * n_slots  # selection contraction
+    vpu_ops = (2.0 * w + 300.0) * n * n_slots  # one-hot build + derivative math
+    hbm_bytes = n * (31 * 4 + 3 * 4)
+    per_frame_flops = evals * mxu_flops
+    ms_frame = 1000.0 / fps
+    achieved = per_frame_flops / (ms_frame / 1000.0)
+    peak_f32 = 49.2e12
+    mfu = achieved / peak_f32
+    # time lower bounds at peak
+    t_mxu = mxu_flops / peak_f32 * 1e3
+    t_vpu = vpu_ops / 4.0e12 * 1e3
+    t_hbm = hbm_bytes / 819e9 * 1e3
+    _log(
+        f"[roofline] per eval: {mxu_flops/1e9:.2f} GFLOP MXU (selection), "
+        f"{vpu_ops/1e9:.2f} Gop VPU, {hbm_bytes/1e6:.1f} MB HBM -> lower bounds "
+        f"{t_mxu:.2f} / {t_vpu:.2f} / {t_hbm:.3f} ms; measured "
+        f"{ms_frame/evals:.2f} ms/eval ({evals:.1f} evals/frame). "
+        f"Compute-bound (HBM {1000*hbm_bytes/819e9/ (ms_frame/evals)*100:.1f}% of eval time); "
+        f"MXU f32 utilization {mfu*100:.1f}%"
+    )
+    _emit("ndt_mfu", mfu, "fraction_f32_peak",
+          gflop_per_frame=round(per_frame_flops / 1e9, 2),
+          hbm_mb_per_frame=round(evals * hbm_bytes / 1e6, 2))
+
+
+def matching_leg():
+    """Steady-state map-matching localization (Matching::Update,
+    matching.cpp:185-265): ground-seg + voxel filter + coarse-to-fine NDT
+    against a box-cropped prebuilt map, full production path per frame."""
+    from lidar_slam_tpu.io import SyntheticWorld, make_trajectory, simulate_spinning_scan
+    from lidar_slam_tpu.pipeline.matching import Matching, MatchingConfig
+
+    world = SyntheticWorld.corridor(length=120.0, width=18.0, density=30.0, seed=5)
+    traj = make_trajectory(16, speed=1.0)
+    frames = [
+        simulate_spinning_scan(world, traj[i], t=i * 0.1, n_scans=64, n_azimuth=2048, seed=700 + i)
+        for i in range(16)
+    ]
+    # the world surface stands in for the viewer's filtered_map.pcd
+    m = Matching(MatchingConfig(), world.points)
+    m.set_gnss_pose(traj[0])
+
+    t0 = time.time()
+    for i in range(3):  # warmup / compile
+        m.update(*frames[i])
+    _log(f"[matching] warmup/compiles: {time.time()-t0:.1f}s")
+    t0 = time.time()
+    poses = [m.update(*frames[i]) for i in range(3, 16)]
+    dt = time.time() - t0
+    errs = [np.linalg.norm(poses[k][:3, 3] - traj[3 + k][:3, 3]) for k in range(13)]
+    _log(f"[matching] {dt/13*1000:.1f} ms/frame, err mean {np.mean(errs):.3f} m")
+    assert np.mean(errs) < 0.3, f"matching error guard ({np.mean(errs):.3f} m)"
+    return 13 / dt
+
+
+def loop_verify_leg():
+    """Loop-closing hot path: SC retrieval + submap NDT verification
+    (loop_closing.cpp:202-319). Returns (detect_ms, verify_ms)."""
+    import tempfile
+
+    from lidar_slam_tpu.io import SyntheticWorld, make_hairpin_trajectory, simulate_scan
+    from lidar_slam_tpu.io.keyframe_store import KeyframeStore
+    from lidar_slam_tpu.pipeline.loop_closing import LoopClosing, LoopClosingConfig
+
+    world = SyntheticWorld.corridor(length=60.0, width=16.0, density=30.0, seed=9)
+    gt = make_hairpin_trajectory(n_out=14, n_turn=16, n_back=12, speed=1.0, turn_radius=1.0)
+    with tempfile.TemporaryDirectory() as root:
+        store = KeyframeStore(root)
+        cfg = LoopClosingConfig(loop_step=1, diff_num=20)
+        lc = LoopClosing(cfg, store)
+        detected = None
+        for i in range(len(gt)):
+            pts, mask, _ = simulate_scan(
+                world, gt[i], t=i * 0.1, max_range=45.0, n_points=16384, seed=900 + i
+            )
+            kept = pts[mask]
+            store.save(i, kept, np.ones(len(kept), bool), gt[i], time=i * 0.1)
+            loop = lc.update(i, gt[i])
+            if loop is not None and detected is None:
+                detected = (loop.index0, loop.index1)
+        assert detected is not None, "loop_verify_leg: no loop detected on the hairpin"
+
+        # steady-state retrieval + verification on the detected pair
+        idx0, idx1 = detected
+        t0 = time.time()
+        for _ in range(5):
+            lc.sc.detect()
+        detect_ms = (time.time() - t0) / 5 * 1000.0
+        lc._verify(idx0, idx1, 0.0)  # warm
+        t0 = time.time()
+        for _ in range(5):
+            out = lc._verify(idx0, idx1, 0.0)
+        verify_ms = (time.time() - t0) / 5 * 1000.0
+        assert out is not None, "loop_verify_leg: verification rejected a true loop"
+        _log(f"[loop] sc retrieval {detect_ms:.1f} ms, submap NDT verify {verify_ms:.1f} ms "
+             f"(pair {idx0}->{idx1}, fitness {out.fitness:.3f})")
+    return detect_ms, verify_ms
 
 
 def cpu_mode():
@@ -373,8 +521,14 @@ def cpu_mode():
         stencil="direct7", gather="two_level", max_compact_voxels=65536,
     )
     workload = build_workload()
-    fps = scan_match_leg("cpu two_level", cfg, workload)
+    fps, _ = scan_match_leg("cpu two_level", cfg, workload)
     _emit("ndt_cpu_fps", fps, "frames/s")
+    # reference-exact radiusSearch semantics (VoxelGrid.cpp:432-480): the
+    # 27-stencil leg, so the TPU radius27 number has a same-semantics baseline
+    fps27, _ = scan_match_leg(
+        "cpu radius27 two_level", dataclasses.replace(cfg, stencil="radius27"), workload
+    )
+    _emit("ndt_cpu_fps_radius27", fps27, "frames/s")
     return 0
 
 
@@ -382,9 +536,13 @@ def main():
     if os.environ.get("BENCH_MODE") == "cpu":
         return cpu_mode()
 
+    from lidar_slam_tpu.utils import enable_persistent_cache
+
+    cache_dir = enable_persistent_cache()
     import jax
 
     _log(f"devices: {jax.devices()}")
+    _log(f"compilation cache: {cache_dir or 'disabled'}")
 
     # CPU baseline runs concurrently in its own process (XLA CPU does not
     # contend with the TPU legs)
@@ -411,13 +569,13 @@ def main():
 
     # headline measured first (it matters most if anything downstream dies);
     # its JSON line still prints LAST
-    fps_tpu = scan_match_leg(f"tpu {stencil} {gather}", cfg, workload)
+    fps_tpu, iters_mean = scan_match_leg(f"tpu {stencil} {gather}", cfg, workload)
     derivative_parity_gate(cfg, workload)
+    mfu_roofline(cfg, fps_tpu, iters_mean, n_slots=7 if stencil == "direct7" else 27)
 
-    fps_r27 = scan_match_leg(
+    fps_r27, _ = scan_match_leg(
         "tpu radius27 fused", dataclasses.replace(cfg, stencil="radius27"), workload
     )
-    _emit("ndt_scan_match_fps_radius27", fps_r27, "frames/s", vs_baseline=fps_r27 / 10.0)
 
     ms_per_iter, g_iters = pose_graph_leg()
     # reference laptop log: 3.66 ms/iter at the same node/edge count
@@ -434,15 +592,43 @@ def main():
     _emit("map_update_ms", upd_ms, "ms/keyframe")
     _emit("front_end_e2e_fps", e2e_fps, "frames/s", vs_baseline=e2e_fps / 10.0)
 
+    try:
+        match_fps = matching_leg()
+        _emit("matching_fps", match_fps, "frames/s", vs_baseline=match_fps / 10.0)
+    except Exception as e:
+        _log(f"[matching] FAILED: {e}")
+    try:
+        detect_ms, verify_ms = loop_verify_leg()
+        # budget: the reference's generic 100 ms real-time stage warn
+        _emit("loop_verify_ms", detect_ms + verify_ms, "ms",
+              vs_baseline=100.0 / max(detect_ms + verify_ms, 1e-9),
+              sc_detect_ms=round(detect_ms, 3), ndt_verify_ms=round(verify_ms, 3))
+    except Exception as e:
+        _log(f"[loop] FAILED: {e}")
+
     out, _ = cpu_proc.communicate(timeout=3600)
-    cpu_fps = None
+    cpu_fps = cpu_fps27 = None
     for line in out.splitlines():
         try:
             rec = json.loads(line)
             if rec.get("metric") == "ndt_cpu_fps":
                 cpu_fps = rec["value"]
+            elif rec.get("metric") == "ndt_cpu_fps_radius27":
+                cpu_fps27 = rec["value"]
         except (json.JSONDecodeError, TypeError):
             continue
+
+    if cpu_fps27:
+        _emit("ndt_cpu_fps_radius27", cpu_fps27, "frames/s")
+        _log(f"radius27 TPU/CPU speedup: {fps_r27/cpu_fps27:.2f}x at reference "
+             f"radiusSearch semantics (target >= 5x)")
+        _emit("ndt_scan_match_fps_radius27", fps_r27, "frames/s",
+              vs_baseline=fps_r27 / cpu_fps27, baseline="cpu")
+    else:
+        _log("WARNING: CPU radius27 leg missing — vs_baseline is fps/10Hz, NOT x-CPU")
+        _emit("ndt_scan_match_fps_radius27", fps_r27, "frames/s",
+              vs_baseline=fps_r27 / 10.0, baseline="realtime_10hz")
+
     if cpu_fps:
         _emit("ndt_cpu_fps", cpu_fps, "frames/s")
         _log(f"TPU/CPU speedup: {fps_tpu/cpu_fps:.2f}x (target >= 5x)")

@@ -17,6 +17,7 @@ run automatically at the end of a mapping session (and `BackEnd.force_optimize`
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
@@ -58,15 +59,17 @@ def _prefetch(iterable, depth: int = 4):
 
 
 def _run_mapping(args) -> int:
-    import jax.numpy as jnp
+    import json
 
     from .config import load_config
     from .io.keyframe_store import KeyframeStore
     from .io.trajectory import write_kitti_trajectory, ate_rmse
     from .pipeline import BackEnd, FrontEnd, LoopClosing, Viewer
+    from .utils.watchdog import RunHealth
 
     cfg = load_config(args.config)
-    store = KeyframeStore(args.out, resume=False)
+    resume = bool(getattr(args, "resume", False))
+    store = KeyframeStore(args.out, resume=resume)
     if getattr(args, "front_end", "ndt") == "aloam":
         fe = _AloamFrontEnd(capacity=65536 if getattr(args, "synthetic", None) else 131072)
     else:
@@ -74,6 +77,49 @@ def _run_mapping(args) -> int:
     be = BackEnd(cfg.back_end, store=store)
     lc = LoopClosing(cfg.loop_closing, store=store, data_path=args.out)
     viewer = Viewer(cfg.viewer, store)
+    health = RunHealth()
+
+    # --- session resume (SURVEY §5.3/§5.4): rebuild tracking + graph state
+    # from the store and continue where the interrupted run stopped
+    est = []
+    skip_frames = 0
+    progress = store.load_progress() if resume else None
+    if progress is not None and len(store) > 0:
+        # stored keyframe poses are map-frame (GNSS re-anchored); the front
+        # end tracks in its own odometry frame and the live trajectory is
+        # written in that frame — restore both frames consistently
+        o2m = progress.get("odom_to_map")
+        M = np.eye(4, dtype=np.float32) if o2m is None else np.asarray(o2m, np.float32)
+        Minv = np.linalg.inv(M).astype(np.float32)
+        n_kf = be.restore_from_store(store, odom_to_map=M)
+        # replaying LoopClosing over the stored keyframes rebuilds SC state
+        # and re-detects the loops the original run found
+        for k in range(n_kf):
+            rec = store.load(k)
+            loop = lc.update(k, rec["pose"], gnss_position=rec.get("gnss"))
+            if loop is not None:
+                be.insert_loop_pose(loop.index0, loop.index1, loop.relative_pose)
+            viewer.update_with_new_key_frame(k, rec["pose"])
+        if hasattr(fe, "restore"):
+            local_n = getattr(cfg.front_end, "local_frame_num", 20)
+            kfs = []
+            for k in range(max(0, n_kf - local_n), n_kf):
+                rec = store.load(k)
+                rec["pose"] = (Minv @ np.asarray(rec["pose"], np.float32)).astype(np.float32)
+                kfs.append(rec)
+            fe.restore(
+                kfs,
+                total_keyframes=n_kf,
+                last_pose=np.asarray(progress["last_pose"], np.float32),
+                predict_pose=np.asarray(progress["predict_pose"], np.float32),
+            )
+        skip_frames = int(progress["frames_done"])
+        live = f"{store.traj_dir}/laser_odom_live.txt"
+        if os.path.exists(live):
+            from .io.trajectory import read_kitti_trajectory
+
+            est = list(read_kitti_trajectory(live))[:skip_frames]
+        print(f"resumed: {n_kf} keyframes, {skip_frames} frames already done")
 
     def _stage(source):
         # device upload happens on the prefetch thread: frame i+1's H2D
@@ -83,37 +129,60 @@ def _run_mapping(args) -> int:
                 frame["preloaded"] = fe.preload(frame["points"])
             yield frame
 
+    def _skipping(source):
+        for i, frame in enumerate(source):
+            if i < skip_frames:
+                continue
+            yield i, frame
+
     frames = _prefetch(_stage(_frame_source(args)))
-    est = []
     gt = []
+    live_path = f"{store.traj_dir}/laser_odom_live.txt"
+    if skip_frames == 0:
+        open(live_path, "w").close()
     t_start = time.time()
-    for i, frame in enumerate(frames):
-        pose, _ = fe.update(
-            frame["points"], bboxes=frame.get("bboxes"),
-            preloaded=frame.get("preloaded"),
-        )
+    for i, frame in _skipping(frames):
+        with health.stage("front_end"):
+            pose, _ = fe.update(
+                frame["points"], bboxes=frame.get("bboxes"),
+                preloaded=frame.get("preloaded"),
+            )
+        health.frame(pose)
         est.append(pose)
         if frame.get("gt_pose") is not None:
             gt.append(frame["gt_pose"])
         gnss = frame.get("gnss_position")
         pts = frame["points"]
-        new_kf = be.update(
-            pose,
-            time=frame.get("time", i * 0.1),
-            gnss_position=gnss,
-            gnss_pose=frame.get("gnss_pose"),
-            cloud_points=pts[: len(pts)],
-            cloud_mask=np.ones(len(pts), bool),
-        )
+        with health.stage("back_end"):
+            new_kf = be.update(
+                pose,
+                time=frame.get("time", i * 0.1),
+                gnss_position=gnss,
+                gnss_pose=frame.get("gnss_pose"),
+                cloud_points=pts[: len(pts)],
+                cloud_mask=np.ones(len(pts), bool),
+            )
         if new_kf:
             kf = be.latest_keyframe()
             viewer.update_with_new_key_frame(kf.index, kf.pose)
-            loop = lc.update(kf.index, kf.pose, gnss_position=gnss)
+            with health.stage("loop_closing", budget_ms=500.0):
+                loop = lc.update(kf.index, kf.pose, gnss_position=gnss)
             if loop is not None:
                 print(f"loop closure: {loop.index0} <- {loop.index1}")
                 be.insert_loop_pose(loop.index0, loop.index1, loop.relative_pose)
             if be.has_new_optimized():
                 viewer.update_with_optimized_poses(be.get_optimized_poses())
+        with open(live_path, "a") as f:
+            f.write(" ".join(f"{v:.9g}" for v in np.asarray(pose, np.float32)[:3, :].reshape(-1)) + "\n")
+        o2m = getattr(be, "_odom_to_map", None)
+        store.save_progress({
+            "frames_done": i + 1,
+            "last_pose": np.asarray(pose, np.float32).tolist(),
+            "predict_pose": np.asarray(
+                getattr(fe, "predict_pose", pose), np.float32
+            ).tolist(),
+            "odom_to_map": None if o2m is None else np.asarray(o2m, np.float32).tolist(),
+        })
         if i % 20 == 0:
             print(f"frame {i}: pose {np.asarray(pose)[:3, 3]}")
 
@@ -125,6 +194,7 @@ def _run_mapping(args) -> int:
     dt = time.time() - t_start
     print(f"mapping done: {len(est)} frames in {dt:.1f}s ({len(est)/dt:.2f} fps), "
           f"{len(be.key_frames)} keyframes, {len(lc.detected)} loops, map {out}")
+    print(f"run health: {json.dumps(health.summary())}")
     if gt:
         write_kitti_trajectory(f"{store.traj_dir}/ground_truth.txt", np.stack(gt))
         print(f"ATE vs ground truth: {ate_rmse(np.stack(est), np.stack(gt)):.3f} m")
@@ -301,6 +371,11 @@ def main(argv=None) -> int:
         help="odometry front end: NDT scan-to-map (mapping.launch) or "
              "A-LOAM two-stage (mapping_with_aloam.launch)",
     )
+    mp.add_argument(
+        "--resume", action="store_true",
+        help="continue an interrupted mapping run from --out's keyframe "
+             "store + progress checkpoint (the reference wipes and restarts)",
+    )
 
     lp = sub.add_parser("matching", help="localize against a prebuilt map")
     add_source(lp)
@@ -316,6 +391,12 @@ def main(argv=None) -> int:
     bp = sub.add_parser("bench", help="run the headline benchmark")
 
     args = p.parse_args(argv)
+    # persistent XLA compilation cache: kills the cold-start compile cost on
+    # second and later runs (the reference starts in seconds; first-trace
+    # compiles here are tens of seconds per program without it)
+    from .utils import enable_persistent_cache
+
+    enable_persistent_cache()
     if args.cmd == "mapping":
         if not (args.kitti_raw or args.kitti_odometry or args.synthetic):
             p.error("mapping needs --kitti-raw, --kitti-odometry or --synthetic N")

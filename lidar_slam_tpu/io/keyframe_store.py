@@ -36,7 +36,8 @@ class KeyframeStore:
     def _path(self, index: int) -> str:
         return os.path.join(self.kf_dir, f"key_frame_{index}.npz")
 
-    def save(self, index: int, points, mask, pose, weights=None, time: float = 0.0) -> None:
+    def save(self, index: int, points, mask, pose, weights=None, time: float = 0.0,
+             gnss=None) -> None:
         np.savez_compressed(
             self._path(index),
             points=np.asarray(points, np.float32),
@@ -44,18 +45,38 @@ class KeyframeStore:
             weights=None if weights is None else np.asarray(weights, np.float32),
             pose=np.asarray(pose, np.float32),
             time=np.float64(time),
+            gnss=None if gnss is None else np.asarray(gnss, np.float32),
         )
         self._count = max(self._count, index + 1)
 
     def load(self, index: int) -> dict:
         with np.load(self._path(index), allow_pickle=True) as z:
+            gnss = z["gnss"] if "gnss" in z.files else None
             return {
                 "points": z["points"],
                 "mask": z["mask"],
                 "weights": None if z["weights"].dtype == object else z["weights"],
                 "pose": z["pose"],
                 "time": float(z["time"]),
+                "gnss": None if gnss is None or gnss.dtype == object else gnss,
             }
+
+    # -- mid-run progress (session resume, SURVEY §5.3/§5.4) ----------------
+    def save_progress(self, record: dict) -> None:
+        """Atomic per-frame progress checkpoint: frame cursor + tracking
+        state a resumed session needs (poses as nested lists)."""
+        p = os.path.join(self.root, "progress.json")
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(record, f)
+        os.replace(tmp, p)
+
+    def load_progress(self) -> Optional[dict]:
+        p = os.path.join(self.root, "progress.json")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
 
     def save_origin(self, lat: float, lon: float, alt: float) -> None:
         """GNSS map origin — the map_origion.txt mechanism

@@ -218,6 +218,9 @@ def _assemble(graph: PoseGraph, cfg: GraphOptimizerConfig):
         Hii=Hii, Hjj=Hjj, Hij=Hij, bi=bi, bj=bj, Hp=Hp, bp=bp,
         i=graph.edge_ij[:, 0], j=graph.edge_ij[:, 1], pn=graph.prior_node,
         free=free, n=n,
+        # raw Jacobians + weights for the matmul-form dense assembly
+        Ji=Ji, Jj=Jj, w=w, lam=lam,
+        Jp=Jp, wp=wp, lamp=graph.prior_info,
     )
 
 
@@ -256,35 +259,40 @@ def _matvec(asm, lam_lm, x):
 def _solve_dense(asm, lam_lm, b):
     """Materialize (H + lam I) as [6N, 6N] and Cholesky-solve (MXU path).
 
-    Assembled directly in flat 2-D form with computed scatter indices: the
-    [n, 6, n, 6] block form gets a (8,128)-tiled layout whose minor axis is
-    n^2 and pads ~28x (observed 16 GB at n = 2048)."""
+    Assembly is all-matmul: each edge's row block [Ji | Jj] lands in its
+    node columns through a one-hot column-selection batched matmul, giving
+    the stacked weighted Jacobian G [E*6, N*6]; H = G^T (w Lambda G) is then
+    ONE dense MXU contraction. This replaces the previous 5-way
+    `.at[r, c].add` scatter (TPU scatter lowering serializes tiny updates)
+    and avoids [n, 6, n, 6] block intermediates whose minor-6 axis pads 21x
+    under (8, 128) tiling."""
     n = asm["n"]
-    ii, jj, pn = asm["i"], asm["j"], asm["pn"]
+    n6 = n * 6
+    cols = jnp.arange(n6, dtype=jnp.int32)
     six = jnp.arange(6, dtype=jnp.int32)
 
-    def rows_cols(a, bidx):
-        r = a[:, None, None] * 6 + six[None, :, None]  # [K, 6, 1]
-        c = bidx[:, None, None] * 6 + six[None, None, :]  # [K, 1, 6]
-        return jnp.broadcast_to(r, (a.shape[0], 6, 6)), jnp.broadcast_to(c, (a.shape[0], 6, 6))
+    def stacked(Jrows, nodes_per_row_block, wlam):
+        """[K, R, 12or6] row blocks -> (G [K*R, N6], Gw [K*R, N6])."""
+        tgt = jnp.concatenate(
+            [a[:, None] * 6 + six[None, :] for a in nodes_per_row_block], axis=1
+        )  # [K, 6*len(nodes)]
+        S = (tgt[:, :, None] == cols[None, None, :]).astype(jnp.float32)
+        G = jnp.einsum("krs,ksc->krc", Jrows, S)  # [K, R, N6]
+        k, r = G.shape[0], G.shape[1]
+        return G.reshape(k * r, n6), (G * wlam[:, :, None]).reshape(k * r, n6)
 
-    Hm = jnp.zeros((n * 6, n * 6), jnp.float32)
-    for blk, (a, bidx) in (
-        (asm["Hii"], (ii, ii)),
-        (asm["Hjj"], (jj, jj)),
-        (asm["Hij"], (ii, jj)),
-        (asm["Hij"].swapaxes(-1, -2), (jj, ii)),
-        (asm["Hp"], (pn, pn)),
-    ):
-        r, c = rows_cols(a, bidx)
-        Hm = Hm.at[r, c].add(blk)
+    J12 = jnp.concatenate([asm["Ji"], asm["Jj"]], axis=-1)  # [E, 6, 12]
+    Gf, Gw = stacked(J12, (asm["i"], asm["j"]), asm["w"][:, None] * asm["lam"])
+    Hm = Gf.T @ Gw
+    Gpf, Gpw = stacked(asm["Jp"], (asm["pn"],), asm["wp"][:, None] * asm["lamp"])
+    Hm = Hm + Gpf.T @ Gpw
 
     free = asm["free"].astype(jnp.float32)
     free6 = jnp.repeat(free, 6)
     Hm = Hm * free6[:, None] * free6[None, :]
     # clamped nodes + LM damping keep the system SPD
-    Hm = Hm + jnp.diag(1.0 - free6) + lam_lm * jnp.eye(n * 6)
-    rhs = (b * asm["free"][:, None]).reshape(n * 6)
+    Hm = Hm + jnp.diag(1.0 - free6) + lam_lm * jnp.eye(n6)
+    rhs = (b * asm["free"][:, None]).reshape(n6)
     L = jnp.linalg.cholesky(Hm)
     x = jax.scipy.linalg.cho_solve((L, True), rhs)
     return x.reshape(n, 6)

@@ -115,7 +115,10 @@ class BackEnd:
                 cloud_points, cloud_mask, cloud_weights = self._downsample_for_store(
                     cloud_points, cloud_mask, cloud_weights
                 )
-            self.store.save(i, cloud_points, cloud_mask, odom_pose, cloud_weights, time)
+            self.store.save(
+                i, cloud_points, cloud_mask, odom_pose, cloud_weights, time,
+                gnss=gnss_position,
+            )
 
         # AddNodeAndEdge (back_end.cpp:212-245). The reference fixes node 0
         # only when GNSS is absent (back_end.cpp:217-220) and relies on g2o
@@ -161,6 +164,41 @@ class BackEnd:
 
     def latest_keyframe(self) -> Optional[KeyFrame]:
         return self.key_frames[-1] if self.key_frames else None
+
+    def restore_from_store(self, store, odom_to_map=None) -> int:
+        """Rebuild the keyframe list and pose graph from a resumed store
+        (session resume, SURVEY §5.3/§5.4): nodes, odometry edges, and GNSS
+        priors are re-added from the stored per-keyframe records. Loop edges
+        are re-detected by replaying LoopClosing over the same store. Returns
+        the number of restored keyframes."""
+        n = len(store)
+        for i in range(n):
+            rec = store.load(i)
+            pose = np.asarray(rec["pose"], np.float32)
+            self.key_frames.append(KeyFrame(index=i, time=rec["time"], pose=pose.copy()))
+            self.graph.add_se3_node(pose, fixed=(i == 0))
+            if i > 0:
+                prev = self.key_frames[-2].pose
+                self.graph.add_se3_edge(
+                    i - 1, i, np.linalg.inv(prev) @ pose, noise=self.cfg.odom_edge_noise
+                )
+            if self.cfg.use_gnss and rec.get("gnss") is not None:
+                self.graph.add_se3_prior_xyz_edge(
+                    i, np.asarray(rec["gnss"], np.float32), noise=self.cfg.gnss_noise
+                )
+                self._new_gnss_cnt += 1
+            self._new_kf_cnt += 1
+        if n:
+            self._last_key_pose = self.key_frames[-1].pose.copy()
+            # stored poses are already in the re-anchored (map) frame; keep
+            # the original run's odom->map anchor so the resumed front end's
+            # odometry-frame poses re-anchor identically
+            self._odom_to_map = (
+                np.eye(4, dtype=np.float32)
+                if odom_to_map is None
+                else np.asarray(odom_to_map, np.float32)
+            )
+        return n
 
     # -- internals ----------------------------------------------------------
     def _downsample_for_store(self, points, mask, weights):

@@ -409,6 +409,24 @@ class FrontEnd:
             )
             weights = jnp.where(kf.mask, weights, 1.0)
 
+        self._insert_keyframe(kf, weights, pose)
+
+        # bbox memory for the next keyframe's matching
+        if desc_cur is not None:
+            descs = np.asarray(desc_cur)
+            valid = np.asarray(boxes_valid)
+            for i in range(len(descs)):
+                if valid[i]:
+                    ms = self.map_bbox_cursor % cfg.max_map_bboxes
+                    self.map_bbox_centers = self.map_bbox_centers.at[ms].set(jnp.asarray(descs[i, :3]))
+                    self.map_bbox_descs = self.map_bbox_descs.at[ms].set(jnp.asarray(descs[i]))
+                    self.map_bbox_valid[ms] = True
+                    self.map_bbox_cursor += 1
+
+    def _insert_keyframe(self, kf: PointCloud, weights, pose) -> None:
+        """Slot insertion + local-map maintenance for one keyframe cloud
+        (shared by the live path and session restore)."""
+        cfg = self.cfg
         slot = self.kf_cursor % cfg.local_frame_num
         # snapshot the outgoing slot BEFORE overwriting (incremental evict)
         evicting = cfg.incremental_map and bool(self.kf_valid[slot])
@@ -423,18 +441,6 @@ class FrontEnd:
         self.kf_valid[slot] = True
         self.kf_cursor += 1
         self.n_keyframes += 1
-
-        # bbox memory for the next keyframe's matching
-        if desc_cur is not None:
-            descs = np.asarray(desc_cur)
-            valid = np.asarray(boxes_valid)
-            for i in range(len(descs)):
-                if valid[i]:
-                    ms = self.map_bbox_cursor % cfg.max_map_bboxes
-                    self.map_bbox_centers = self.map_bbox_centers.at[ms].set(jnp.asarray(descs[i, :3]))
-                    self.map_bbox_descs = self.map_bbox_descs.at[ms].set(jnp.asarray(descs[i]))
-                    self.map_bbox_valid[ms] = True
-                    self.map_bbox_cursor += 1
 
         if cfg.incremental_map:
             # tracking maps feed ONLY the align path (compact packed table);
@@ -482,6 +488,49 @@ class FrontEnd:
                 jnp.asarray(np.asarray(pose, np.float32)[:3, 3]),
                 self.cfg,
             )
+
+    def restore(self, keyframes, total_keyframes: Optional[int] = None,
+                last_pose=None, predict_pose=None) -> None:
+        """Rebuild tracking state from stored keyframes (session resume,
+        SURVEY §5.3/§5.4 — the reference can only restart from scratch).
+
+        `keyframes`: iterable of dicts {points, mask, weights?, pose} — the
+        LAST `local_frame_num` keyframes of the interrupted run, oldest
+        first. `total_keyframes` keeps the slot cursor phase identical to the
+        original run so continued eviction order matches."""
+        cfg = self.cfg
+        kfs = list(keyframes)[-cfg.local_frame_num:]
+        if not kfs:
+            return
+        total = total_keyframes if total_keyframes is not None else len(kfs)
+        self.kf_cursor = total - len(kfs)
+        self.n_keyframes = self.kf_cursor
+        for rec in kfs:
+            pts = np.asarray(rec["points"], np.float32)
+            msk = np.asarray(rec.get("mask", np.ones(len(pts), bool)), bool)
+            w = rec.get("weights")
+            cap = max(cfg.keyframe_capacity, int(msk.sum()))
+            pad_p = np.zeros((cap, 3), np.float32)
+            pad_w = np.ones(cap, np.float32)
+            sel = pts[msk]
+            pad_p[: len(sel)] = sel
+            if w is not None:
+                pad_w[: len(sel)] = np.asarray(w, np.float32)[msk]
+            pad_m = np.zeros(cap, bool)
+            pad_m[: len(sel)] = True
+            cloud = PointCloud(
+                points=jnp.asarray(pad_p), mask=jnp.asarray(pad_m), weights=jnp.asarray(pad_w)
+            )
+            kf = voxel_downsample(cloud, cfg.frame_leaf, out_capacity=cfg.keyframe_capacity)
+            weights = kf.get_weights()  # centroid-mean of stored weights (1s when absent)
+            pose = np.asarray(rec["pose"], np.float32)
+            self._insert_keyframe(kf.replace(weights=None), weights, pose)
+        last_kf_pose = np.asarray(kfs[-1]["pose"], np.float32)
+        self.last_key_frame_pose = last_kf_pose.copy()
+        self.last_pose = np.asarray(last_pose, np.float32) if last_pose is not None else last_kf_pose.copy()
+        self.predict_pose = (
+            np.asarray(predict_pose, np.float32) if predict_pose is not None else self.last_pose.copy()
+        )
 
     @staticmethod
     def _lattice_origin(center, ndt_cfg: NDTConfig) -> np.ndarray:

@@ -41,3 +41,36 @@ class TestTimers:
         assert s["a"]["count"] == 2
         assert s["a"]["mean_ms"] > 2
         assert "a" in st.report()
+
+
+class TestRunHealth:
+    def test_stage_budget_and_divergence(self):
+        from lidar_slam_tpu.utils.watchdog import RunHealth
+
+        warns = []
+        rh = RunHealth(stage_budget_ms=0.0, max_step_translation=1.0, log=warns.append)
+        with rh.stage("track"):
+            pass  # any duration > 0 ms budget -> miss
+        assert rh.stages["track"].misses == 1
+        assert warns and "track took" in warns[0]
+
+        import numpy as np
+
+        p0 = np.eye(4)
+        p1 = np.eye(4)
+        p1[:3, 3] = [5.0, 0, 0]
+        assert rh.frame(p0)  # first frame: no step to judge
+        assert not rh.frame(p1)  # 5 m jump > 1 m bound
+        assert rh.divergences == 1
+        s = rh.summary()
+        assert s["frames"] == 2 and s["stages"]["track"]["calls"] == 1
+
+    def test_stall_detection(self):
+        import time
+
+        from lidar_slam_tpu.utils.watchdog import RunHealth
+
+        rh = RunHealth(stall_timeout_s=0.01)
+        assert not rh.stalled()
+        time.sleep(0.02)
+        assert rh.stalled()
