@@ -302,6 +302,19 @@ def simulate_spinning_scan(
     return pts, mask
 
 
+def bboxes_for(world: SyntheticWorld, pose: np.ndarray, t: float = 0.0) -> np.ndarray:
+    """Per-frame detector bboxes [B, 8] in the SENSOR frame for the world's
+    dynamic boxes (the CloudBbox channel, sensor_data/cloud_bbox.hpp:12-26)."""
+    Tinv = np.linalg.inv(pose.astype(np.float64))
+    bboxes = []
+    for b in world.boxes:
+        bb = b.bbox_at(t)
+        c_local = Tinv[:3, :3] @ bb[:3] + Tinv[:3, 3]
+        yaw_sensor = bb[6] - np.arctan2(pose[1, 0], pose[0, 0])
+        bboxes.append(np.asarray([*c_local, *bb[3:6], yaw_sensor, bb[7]], np.float32))
+    return np.stack(bboxes) if bboxes else np.zeros((0, 8), np.float32)
+
+
 def simulate_scan(
     world: SyntheticWorld,
     pose: np.ndarray,
@@ -342,12 +355,4 @@ def simulate_scan(
     out[:m] = local[:m]
     mask[:m] = True
 
-    bboxes = []
-    for b in world.boxes:
-        bb = b.bbox_at(t)
-        # transform bbox center+heading into the sensor frame
-        c_local = Tinv[:3, :3] @ bb[:3] + Tinv[:3, 3]
-        yaw_sensor = bb[6] - np.arctan2(pose[1, 0], pose[0, 0])
-        bboxes.append(np.asarray([*c_local, *bb[3:6], yaw_sensor, bb[7]], np.float32))
-    bboxes = np.stack(bboxes) if bboxes else np.zeros((0, 8), np.float32)
-    return out, mask, bboxes
+    return out, mask, bboxes_for(world, pose, t)

@@ -23,13 +23,18 @@ import sys
 import numpy as np
 import pytest
 
-from lidar_slam_tpu.io import SyntheticWorld, make_hairpin_trajectory, simulate_scan
+from lidar_slam_tpu.io import SyntheticWorld, make_hairpin_trajectory
 from lidar_slam_tpu.io.kitti import KittiRawReader
 from lidar_slam_tpu.io.kitti_writer import read_bbox_dir, write_kitti_raw_drive
+from lidar_slam_tpu.io.synthetic import bboxes_for, simulate_spinning_scan
 from lidar_slam_tpu.io.trajectory import ate_rmse
 
 
-def _make_drive(tmp_path, n_points=8192, gnss_noise=0.15, scan_noise=0.02):
+def _make_drive(tmp_path, n_azimuth=512, gnss_noise=0.15, scan_noise=0.02):
+    """Drive frames come from the HDL-64 beam-table spinning simulator
+    (64 true elevation angles via the A-LOAM ring formulas, azimuth-ordered
+    returns, per-cell occlusion) — the realistic scan distribution the
+    reference's KITTI oracle provides (scanRegistration.cpp:169-205)."""
     world = SyntheticWorld.corridor(length=90, seed=7, curve=0.0)
     # one parked-then-moving truck: dynamic bboxes flow through the writer's
     # bbox channel into the front end's static-weighting path
@@ -41,10 +46,11 @@ def _make_drive(tmp_path, n_points=8192, gnss_noise=0.15, scan_noise=0.02):
     rng = np.random.default_rng(11)
     frames = []
     for i in range(len(gt)):
-        pts, mask, bboxes = simulate_scan(
-            world, gt[i], t=i * 0.1, max_range=35.0, n_points=n_points, seed=500 + i,
-            noise=scan_noise,
+        pts, mask = simulate_spinning_scan(
+            world, gt[i], t=i * 0.1, n_scans=64, n_azimuth=n_azimuth,
+            max_range=35.0, min_range=2.0, noise=scan_noise, seed=500 + i,
         )
+        bboxes = bboxes_for(world, gt[i], t=i * 0.1)
         gnss_pose = gt[i].copy().astype(np.float64)
         gnss_pose[:3, 3] += rng.normal(0, gnss_noise, 3)
         frames.append(
@@ -62,7 +68,7 @@ def _make_drive(tmp_path, n_points=8192, gnss_noise=0.15, scan_noise=0.02):
 class TestKittiRoundTrip:
     def test_writer_reader_roundtrip(self, tmp_path):
         """Bytes written in KITTI layout decode back to the same scans/poses."""
-        _, gt, frames, drive_dir = _make_drive(tmp_path, n_points=2048, gnss_noise=0.0)
+        _, gt, frames, drive_dir = _make_drive(tmp_path, n_azimuth=256, gnss_noise=0.0)
         reader = KittiRawReader(drive_dir)
         assert len(reader) == len(gt)
         got = list(reader)
@@ -93,7 +99,7 @@ class TestKittiGoldenE2E:
         # noisy sparse scans so odometry drifts measurably — the loop/GNSS
         # optimization must then demonstrably pull keyframes back toward truth
         _, gt, _, drive_dir = _make_drive(
-            tmp_path, n_points=4096, gnss_noise=0.10, scan_noise=0.06
+            tmp_path, n_azimuth=512, gnss_noise=0.10, scan_noise=0.06
         )
         out_dir = str(tmp_path / "run")
         repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
