@@ -30,6 +30,7 @@ import dataclasses
 from functools import partial
 from typing import Optional, Tuple
 
+import flax.struct
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -248,6 +249,136 @@ def _incremental_map_update(
     fine_sums, fine_map = one(fine_sums, new_origin_fine, fine_cfg)
     coarse_sums, coarse_map = one(coarse_sums, new_origin_coarse, coarse_cfg)
     return fine_sums, coarse_sums, world, fine_map, coarse_map
+
+
+@flax.struct.dataclass
+class FrontEndDriveState:
+    """Device-resident front-end state for the scan-chained drive: tracking
+    maps, keyframe window, and motion-model poses as one pytree."""
+
+    fine_sums: object
+    coarse_sums: object
+    fine_map: object
+    coarse_map: object
+    kf_world: jax.Array  # [K, P, 3] keyframe clouds in world frame
+    kf_masks: jax.Array  # [K, P]
+    kf_weights: jax.Array  # [K, P]
+    cursor: jax.Array  # [] int32
+    n_keyframes: jax.Array  # [] int32
+    last_pose: jax.Array  # [4, 4]
+    predict_pose: jax.Array  # [4, 4]
+    last_kf_pose: jax.Array  # [4, 4]
+
+
+def init_front_end_drive(cfg: FrontEndConfig, init_pose=None) -> FrontEndDriveState:
+    k, p = cfg.local_frame_num, cfg.keyframe_capacity
+    fine_cfg = dataclasses.replace(cfg.ndt, dense_stats=False)
+    coarse_cfg = dataclasses.replace(
+        cfg.ndt,
+        resolution=cfg.ndt.resolution * 2.0,
+        grid_dims=tuple(d // 2 for d in cfg.ndt.grid_dims),
+        dense_stats=False,
+    )
+    zero3 = jnp.zeros(3, jnp.float32)
+    fine_sums = empty_ndt_sums(zero3, fine_cfg)
+    coarse_sums = empty_ndt_sums(zero3, coarse_cfg)
+    eye = jnp.eye(4, dtype=jnp.float32) if init_pose is None else jnp.asarray(init_pose, jnp.float32)
+    return FrontEndDriveState(
+        fine_sums=fine_sums,
+        coarse_sums=coarse_sums,
+        fine_map=finalize_ndt_sums(fine_sums, fine_cfg),
+        coarse_map=finalize_ndt_sums(coarse_sums, coarse_cfg),
+        kf_world=jnp.zeros((k, p, 3), jnp.float32),
+        kf_masks=jnp.zeros((k, p), bool),
+        kf_weights=jnp.ones((k, p), jnp.float32),
+        cursor=jnp.int32(0),
+        n_keyframes=jnp.int32(0),
+        last_pose=eye,
+        predict_pose=eye,
+        last_kf_pose=eye,
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def front_end_drive(state: FrontEndDriveState, points_seq, mask_seq, cfg: FrontEndConfig):
+    """Whole-sequence scan-to-map odometry as ONE device program.
+
+    Chains frames through `lax.scan`: preprocess -> coarse-to-fine align ->
+    motion-model update -> cond-gated keyframe insertion + incremental map
+    maintenance, all device-resident. The frame-to-frame dependency is
+    preserved (honest sequential semantics, front_end.cpp:238-240); what the
+    chaining removes is the per-frame host round trip and the host-side
+    keyframe branch. Static weighting (bboxes) is not applied in drive mode
+    (weights are 1) — use FrontEnd.update for the bbox-weighted path.
+
+    Returns (state, poses [T, 4, 4], is_kf [T] bool, unresolved [T])."""
+    fine_cfg = dataclasses.replace(cfg.ndt, dense_stats=False)
+    coarse_cfg = dataclasses.replace(
+        cfg.ndt,
+        resolution=cfg.ndt.resolution * 2.0,
+        grid_dims=tuple(d // 2 for d in cfg.ndt.grid_dims),
+        dense_stats=False,
+    )
+    res_f, res_c = fine_cfg.resolution, coarse_cfg.resolution
+    dims_f = jnp.asarray(fine_cfg.grid_dims, jnp.float32)
+    dims_c = jnp.asarray(coarse_cfg.grid_dims, jnp.float32)
+
+    def lattice_origin(center, res, dims):
+        return jnp.floor((center - 0.5 * dims * res) / res) * res
+
+    def one(st: FrontEndDriveState, inp):
+        points, mask = inp
+        frame = _preprocess.__wrapped__(points, mask, cfg.frame_capacity, cfg.frame_leaf)
+
+        guess = st.predict_pose
+        if cfg.coarse_to_fine:
+            guess = ndt_align(st.coarse_map, frame, guess, coarse_cfg).pose
+        r = ndt_align(st.fine_map, frame, guess, fine_cfg)
+        first = st.n_keyframes == 0
+        pose = jnp.where(first, st.predict_pose, r.pose)
+
+        step = jnp.linalg.solve(st.last_pose, pose)
+        predict = pose @ step
+        l1 = jnp.sum(jnp.abs(pose[:3, 3] - st.last_kf_pose[:3, 3]))
+        is_kf = first | (l1 > cfg.key_frame_distance)
+
+        def add_kf(st: FrontEndDriveState) -> FrontEndDriveState:
+            kf = voxel_downsample(frame, cfg.frame_leaf, out_capacity=cfg.keyframe_capacity)
+            weights = jnp.ones(cfg.keyframe_capacity, jnp.float32)
+            slot = st.cursor % cfg.local_frame_num
+            old_world = st.kf_world[slot]
+            old_mask = st.kf_masks[slot] & (st.cursor >= cfg.local_frame_num)
+            old_weights = st.kf_weights[slot]
+            center = pose[:3, 3]
+            origin_f = lattice_origin(center, res_f, dims_f)
+            origin_c = lattice_origin(center, res_c, dims_c)
+            fine_sums, coarse_sums, world, fine_map, coarse_map = (
+                _incremental_map_update.__wrapped__(
+                    st.fine_sums, st.coarse_sums,
+                    old_world, old_mask, old_weights,
+                    kf.points, kf.mask, weights,
+                    pose, origin_f, origin_c, fine_cfg, coarse_cfg,
+                )
+            )
+            return st.replace(
+                fine_sums=fine_sums,
+                coarse_sums=coarse_sums,
+                fine_map=fine_map,
+                coarse_map=coarse_map,
+                kf_world=st.kf_world.at[slot].set(world),
+                kf_masks=st.kf_masks.at[slot].set(kf.mask),
+                kf_weights=st.kf_weights.at[slot].set(weights),
+                cursor=st.cursor + 1,
+                n_keyframes=st.n_keyframes + 1,
+                last_kf_pose=pose,
+            )
+
+        st = st.replace(last_pose=pose, predict_pose=predict)
+        st = jax.lax.cond(is_kf, add_kf, lambda s: s, st)
+        return st, (pose, is_kf, jnp.where(first, 0.0, r.unresolved))
+
+    state, (poses, kfs, unres) = jax.lax.scan(one, state, (points_seq, mask_seq))
+    return state, poses, kfs, unres
 
 
 class FrontEnd:

@@ -47,6 +47,53 @@ class TestFrontEndOdometry:
         # 12 m of travel at 2 m gate -> ~6 keyframes expected
 
 
+class TestFrontEndDrive:
+    def test_drive_matches_stepwise(self):
+        """front_end_drive (whole sequence in one lax.scan program) tracks the
+        same trajectory as per-frame FrontEnd.update (no bboxes)."""
+        import jax.numpy as jnp
+
+        from lidar_slam_tpu.pipeline.front_end import (
+            front_end_drive,
+            init_front_end_drive,
+        )
+
+        world = SyntheticWorld.corridor(length=60, seed=5, curve=0.0)
+        gt = make_trajectory(14, speed=1.0)
+        frames = [
+            simulate_scan(world, gt[i], t=i * 0.1, max_range=35.0, n_points=8192, seed=700 + i)[:2]
+            for i in range(14)
+        ]
+
+        fe = FrontEnd(CFG)
+        fe.set_init_pose(gt[0])
+        step_poses = []
+        step_kf = []
+        for pts, mask in frames:
+            pose, is_kf = fe.update(pts, jnp.asarray(mask))
+            step_poses.append(pose)
+            step_kf.append(is_kf)
+
+        cap = CFG.raw_capacity
+        pts_seq = np.zeros((14, cap, 3), np.float32)
+        msk_seq = np.zeros((14, cap), bool)
+        for i, (pts, mask) in enumerate(frames):
+            n = len(pts)
+            pts_seq[i, :n] = pts
+            msk_seq[i, :n] = mask
+        st = init_front_end_drive(CFG, init_pose=gt[0])
+        st, poses, kfs, unres = front_end_drive(
+            st, jnp.asarray(pts_seq), jnp.asarray(msk_seq), CFG
+        )
+        poses = np.asarray(poses)
+        assert float(np.max(np.asarray(unres))) == 0.0
+        assert list(np.asarray(kfs)) == step_kf
+        for i in range(14):
+            np.testing.assert_allclose(
+                poses[i][:3, 3], step_poses[i][:3, 3], atol=5e-3, err_msg=f"frame {i}"
+            )
+
+
 class TestStaticWeighting:
     def test_dynamic_objects_downweighted(self):
         """Keyframe clouds must carry ~0 weights inside moving boxes."""
