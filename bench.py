@@ -269,6 +269,46 @@ def pose_graph_leg():
     ms_per_iter = dtc * 1000.0 / max(tot, 1)
     _log(f"[pose_graph] chained x{reps}: {dtc*1000:.1f} ms, {tot} total iters "
          f"-> {ms_per_iter:.2f} ms/iter")
+
+    # scaling point beyond the reference's case: 2048-node loop with the
+    # matrix-free PCG solver (the dense 12288-dim Cholesky would pad out;
+    # this is the path the distributed solve builds on)
+    n2 = 2048
+    b2 = PoseGraphBuilder(max_nodes=n2, max_edges=n2 + 8, max_priors=8)
+    true2 = []
+    for i in range(n2):
+        th = 2 * np.pi * i / n2
+        Ti = np.eye(4, dtype=np.float32)
+        Ti[:3, :3] = np.array(
+            [[np.cos(th), -np.sin(th), 0], [np.sin(th), np.cos(th), 0], [0, 0, 1]], np.float32)
+        Ti[:3, 3] = [120 * np.cos(th), 120 * np.sin(th), 0.0]
+        true2.append(Ti)
+    est2 = [true2[0]]
+    b2.add_se3_node(true2[0], fixed=True)
+    for i in range(1, n2):
+        Z = np.linalg.inv(true2[i - 1]) @ true2[i]
+        noise = rng.normal(0, 0.02, 6).astype(np.float32)
+        Zn = np.asarray(se3_exp(jnp.asarray(noise))) @ Z
+        est2.append((est2[-1] @ Zn).astype(np.float32))
+        b2.add_se3_node(est2[-1])
+        b2.add_se3_edge(i - 1, i, Zn, noise=[0.5, 0.5, 0.5, 0.01, 0.01, 0.01])
+    # loop edge closes the drifted circle — this carries all the error
+    b2.add_se3_edge(n2 - 1, 0, np.linalg.inv(true2[n2 - 1]) @ true2[0],
+                    noise=[0.3, 0.3, 0.3, 0.01, 0.01, 0.01])
+    cfg2 = GraphOptimizerConfig(max_iterations=30, solver="pcg")
+    g2 = b2.to_graph()
+    go2, st2 = optimize_pose_graph(g2, cfg2)
+    jax.device_get(go2.poses)
+    t0 = time.time()
+    go2, st2 = optimize_pose_graph(g2, cfg2)
+    st2 = jax.device_get(st2)
+    dt2 = time.time() - t0
+    it2 = int(st2["iterations"])
+    _log(f"[pose_graph] 2048 nodes (PCG): {dt2*1000:.1f} ms, {it2} LM iters "
+         f"({dt2*1000/max(it2,1):.1f} ms/iter), chi2 {float(st2['chi2_before']):.1f}"
+         f" -> {float(st2['chi2_after']):.4f}")
+    _emit("pose_graph_2048_ms_per_iter", dt2 * 1000.0 / max(it2, 1), "ms/iter",
+          iterations=it2)
     return ms_per_iter, iters
 
 
