@@ -546,7 +546,14 @@ def loop_verify_leg():
     gt = make_hairpin_trajectory(n_out=14, n_turn=16, n_back=12, speed=1.0, turn_radius=1.0)
     with tempfile.TemporaryDirectory() as root:
         store = KeyframeStore(root)
-        cfg = LoopClosingConfig(loop_step=1, diff_num=20)
+        # short 42-keyframe drive: scale the SC exclude-recent window to the
+        # leg's diff_num (the production default 50 — reference-exact,
+        # scan_context.h:100 — would exclude the entire history here)
+        from lidar_slam_tpu.models.scan_context import ScanContextConfig
+
+        cfg = LoopClosingConfig(
+            loop_step=1, diff_num=20, sc=ScanContextConfig(num_exclude_recent=20)
+        )
         lc = LoopClosing(cfg, store)
         detected = None
         for i in range(len(gt)):

@@ -24,7 +24,12 @@ import numpy as np
 
 from ..geom.se3 import euler_xyz_to_matrix
 from ..io.keyframe_store import KeyframeStore
-from ..models.registration import NDTConfig, build_ndt_map, ndt_align, ndt_fitness_score
+from ..models.registration import (
+    NDTConfig,
+    build_ndt_map,
+    ndt_align,
+    point_nn_fitness_score,
+)
 from ..models.scan_context import SCManager, ScanContextConfig
 from ..ops.pointcloud import PointCloud, voxel_downsample
 
@@ -41,7 +46,7 @@ class LoopClosingConfig:
     fitness_score_limit: float = 0.2
     ndt: NDTConfig = NDTConfig(resolution=1.0, grid_dims=(160, 160, 40), point_chunk=4096, gather="auto")
     map_filter_leaf: float = 0.3
-    scan_filter_leaf: float = 0.5
+    scan_filter_leaf: float = 0.3  # loop_closing.yaml:27-31 (map AND scan 0.3)
     submap_capacity: int = 65536
     scan_capacity: int = 16384
     sc: ScanContextConfig = ScanContextConfig()
@@ -135,9 +140,18 @@ class LoopClosing:
         return best, 0.0
 
     def _detect_scan_context(self, cur: int):
-        """DetectNearestKeyFrameScanContext (loop_closing.cpp:202-231)."""
+        """DetectNearestKeyFrameScanContext (loop_closing.cpp:202-231):
+        SC retrieval (temporal separation comes from the SC manager's
+        num_exclude_recent window, not diff_num), then require the candidate
+        to be at least extend_frame_num old and within detect_area of the
+        current pose — backing the skip window off when it is far away."""
+        cfg = self.cfg
         idx, dist, yaw = self.sc.detect()
-        if idx < 0 or cur - idx < self.cfg.diff_num:
+        if idx < cfg.extend_frame_num:
+            return -1, 0.0
+        d = float(np.linalg.norm(self.key_poses[cur][:3, 3] - self.key_poses[idx][:3, 3]))
+        if d > cfg.detect_area:
+            self._skip_num = max(int(cfg.detect_area / 2.0), cfg.loop_step)
             return -1, 0.0
         return idx, yaw
 
@@ -177,14 +191,46 @@ class LoopClosing:
         scan = voxel_downsample(scan, cfg.scan_filter_leaf, out_capacity=cfg.scan_capacity)
 
         guess = self.key_poses[index1].copy()
-        if cfg.loop_method == "sc" and abs(yaw_hint) > 1e-6:
-            Rz = np.asarray(
-                euler_xyz_to_matrix(jnp.float32(0.0), jnp.float32(0.0), jnp.float32(-yaw_hint))
-            )
-            guess[:3, :3] = guess[:3, :3] @ Rz
 
-        result = ndt_align(ndt_map, scan, jnp.asarray(guess), cfg.ndt)
-        fitness = float(ndt_fitness_score(ndt_map, scan, result.pose, cfg.ndt))
+        def align_and_score(g):
+            result = ndt_align(ndt_map, scan, jnp.asarray(g), cfg.ndt)
+            # the reference's loop gate is PCL's getFitnessScore — mean
+            # SQUARED NN distance to the filtered submap POINTS
+            # (loop_closing.cpp:78-80 instantiates the PCL wrapper;
+            # ndt_registration.cpp:63-66) — NOT the manual-NDT centroid
+            # fitness, which has a ~0.3 m planar floor at res 1.0 and can
+            # never pass the 0.2 limit even at a perfect pose.
+            fit = float(point_nn_fitness_score(submap, scan, result.pose))
+            return result, fit
+
+        result, fitness = align_and_score(guess)
+        if fitness > cfg.fitness_score_limit and cfg.loop_method == "sc":
+            # Fallback the reference lacks: odometry heading may have drifted
+            # by the time the loop closes. Scan Context measured the TRUE
+            # relative yaw between the two scans; apply only the DISCREPANCY
+            # between that measurement and the relative yaw the pose
+            # estimates imply (applying the raw SC yaw on top of a correct
+            # heading breaks the guess). SC yaw resolution is one sector
+            # (2*pi/60), so discrepancies below that are noise.
+            R0 = self.key_poses[index0][:3, :3]
+            R1 = guess[:3, :3]
+            rel = R0.T @ R1
+            rel_yaw = float(np.arctan2(rel[1, 0], rel[0, 0]))
+            corr = (yaw_hint - rel_yaw + np.pi) % (2.0 * np.pi) - np.pi
+            if abs(corr) > 2.0 * np.pi / 60.0:
+                for sign in (1.0, -1.0):
+                    g2 = guess.copy()
+                    Rz = np.asarray(
+                        euler_xyz_to_matrix(
+                            jnp.float32(0.0), jnp.float32(0.0), jnp.float32(sign * corr)
+                        )
+                    )
+                    g2[:3, :3] = guess[:3, :3] @ Rz
+                    r2, f2 = align_and_score(g2)
+                    if f2 < fitness:
+                        result, fitness = r2, f2
+                    if fitness <= cfg.fitness_score_limit:
+                        break
         if fitness > cfg.fitness_score_limit:
             return None
         rel = np.linalg.inv(self.key_poses[index0]) @ np.asarray(result.pose)

@@ -56,6 +56,46 @@ class MatchingConfig:
     use_ground_seg: bool = True
 
 
+@partial(jax.jit, static_argnames=("cfg", "coarse_cfg"))
+def _match_step(
+    fine_map,
+    coarse_map,  # == fine_map when coarse-to-fine is off
+    raw_pts,
+    raw_msk,
+    predict,  # [4, 4] motion-model guess
+    cfg: "MatchingConfig",
+    coarse_cfg: Optional[NDTConfig],
+):
+    """One localization frame as ONE device dispatch: ground removal ->
+    voxel downsample -> coarse-to-fine NDT (Matching::Update,
+    matching.cpp:185-265). The un-fused path cost four dispatches with a
+    host round trip after each — ~100 ms of pure transport per frame on
+    the tunneled backend; production wants exactly one program + one pose
+    fetch (the same shape as front_end._track_step)."""
+    mj = raw_msk & finite_mask(raw_pts)
+    if cfg.use_ground_seg:
+        from ..models.ground_seg import GroundSegConfig, segment_ground
+
+        _, nonground = segment_ground(
+            PointCloud(points=jnp.where(mj[:, None], raw_pts, 0.0), mask=mj),
+            GroundSegConfig(),
+        )
+        mj = mj & nonground
+    frame = voxel_downsample(
+        PointCloud(points=jnp.where(mj[:, None], raw_pts, 0.0), mask=mj),
+        cfg.frame_leaf,
+        out_capacity=cfg.frame_capacity,
+    )
+    guess = predict
+    unresolved = jnp.float32(0.0)
+    if coarse_cfg is not None:
+        rc = ndt_align(coarse_map, frame, guess, coarse_cfg)
+        guess = rc.pose
+        unresolved = rc.unresolved
+    r = ndt_align(fine_map, frame, guess, cfg.ndt)
+    return frame.points, frame.mask, r.pose, unresolved + r.unresolved
+
+
 @partial(jax.jit, static_argnames=("dim", "cell"))
 def _height_map(points, mask, origin, dim: int, cell: float):
     """Per-cell mean/std of z over the local map (generateGauss2DMapCells)."""
@@ -217,29 +257,33 @@ class Matching:
         pts_fixed[:n] = points[:n]
         msk_fixed[:n] = mask[:n]
         pj = jnp.asarray(pts_fixed)
-        mj = jnp.asarray(msk_fixed) & finite_mask(pj)
-        if cfg.use_ground_seg:
-            from ..models.ground_seg import GroundSegConfig, segment_ground
+        mj = jnp.asarray(msk_fixed)
 
-            _, nonground = segment_ground(
-                PointCloud(points=jnp.where(mj[:, None], pj, 0.0), mask=mj), GroundSegConfig()
-            )
-            mj = mj & nonground
-        frame = voxel_downsample(
-            PointCloud(points=jnp.where(mj[:, None], pj, 0.0), mask=mj),
-            cfg.frame_leaf,
-            out_capacity=cfg.frame_capacity,
-        )
         if not self._init:
-            self._pending_scan = frame
+            mjf = mj & finite_mask(pj)
+            if cfg.use_ground_seg:
+                from ..models.ground_seg import GroundSegConfig, segment_ground
+
+                _, nonground = segment_ground(
+                    PointCloud(points=jnp.where(mjf[:, None], pj, 0.0), mask=mjf),
+                    GroundSegConfig(),
+                )
+                mjf = mjf & nonground
+            self._pending_scan = voxel_downsample(
+                PointCloud(points=jnp.where(mjf[:, None], pj, 0.0), mask=mjf),
+                cfg.frame_leaf,
+                out_capacity=cfg.frame_capacity,
+            )
             return None
 
         predict = self.current_pose @ self.predict_step
-        guess = jnp.asarray(predict)
-        if cfg.coarse_to_fine and self.coarse_ndt_map is not None:
-            guess = ndt_align(self.coarse_ndt_map, frame, guess, self._coarse_cfg()).pose
-        result = ndt_align(self.ndt_map, frame, guess, cfg.ndt)
-        pose = np.asarray(result.pose)
+        use_coarse = cfg.coarse_to_fine and self.coarse_ndt_map is not None
+        coarse_cfg = self._coarse_cfg() if use_coarse else None
+        coarse_map = self.coarse_ndt_map if use_coarse else self.ndt_map
+        _, _, dev_pose, _ = _match_step(
+            self.ndt_map, coarse_map, pj, mj, jnp.asarray(predict), cfg, coarse_cfg
+        )
+        pose = np.asarray(dev_pose)
         self.predict_step = (np.linalg.inv(self.current_pose) @ pose).astype(np.float32)
         self.current_pose = pose
         self._maybe_refresh_local_map(pose[:3, 3])
