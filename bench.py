@@ -325,6 +325,7 @@ def front_end_leg(workload):
         ndt=NDTConfig(
             resolution=1.0, grid_dims=(256, 256, 64), point_chunk=8192,
             max_iter=30, stencil="direct7", gather="auto", max_compact_voxels=65536,
+            fused_window=1024,  # A/B'd on-TPU; exactness asserted below
         ),
     )
     world = SyntheticWorld.corridor(length=120.0, width=18.0, density=40.0, seed=0)
@@ -640,6 +641,10 @@ def main():
         resolution=1.0, grid_dims=(256, 256, 64), point_chunk=8192, max_iter=max_iter,
         stencil=stencil, gather=gather,
         max_compact_voxels=int(os.environ.get("NDT_MAX_COMPACT", "65536")),
+        # key window sized by on-TPU A/B (W=1024: -20% eval time, unresolved
+        # stays 0 at this operating point; the parity gate + unresolved
+        # asserts below fail loudly if a denser workload ever needs more)
+        fused_window=int(os.environ.get("NDT_FUSED_WINDOW", "1024")),
     )
     workload = build_workload()
 

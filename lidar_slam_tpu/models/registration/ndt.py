@@ -257,7 +257,9 @@ def empty_ndt_sums(origin, config: NDTConfig) -> NDTMapSums:
     )
 
 
-def scatter_to_sums(sums: NDTMapSums, points, mask, weights=None, sign: float = 1.0) -> NDTMapSums:
+def scatter_to_sums(
+    sums: NDTMapSums, points, mask, weights=None, sign: float = 1.0, signs=None
+) -> NDTMapSums:
     """Accumulate (sign=+1) or remove (sign=-1) a cloud's voxel moments.
 
     Eviction with sign=-1 is exact for `count` (integer adds in float32) and
@@ -265,6 +267,11 @@ def scatter_to_sums(sums: NDTMapSums, points, mask, weights=None, sign: float = 
     points are skipped symmetrically on add and evict, so a window that
     recentres between add and evict stays consistent (dropped cells were
     zeroed by the roll; their points are out of bounds at evict time).
+
+    `signs` ([N] float32, ±1) overrides the scalar `sign` per point, so one
+    concatenated evict+add cloud needs ONE segment_sum pass over the dense
+    [V]-sized outputs instead of two (the output traffic, not the point
+    count, dominates this op at multi-million-voxel grids).
     """
     dims = sums.dims
     v = dims[0] * dims[1] * dims[2]
@@ -283,7 +290,8 @@ def scatter_to_sums(sums: NDTMapSums, points, mask, weights=None, sign: float = 
     inb = jnp.all((coords >= 0) & (coords < jnp.asarray(dims, jnp.int32)), axis=-1)
     ok = mask & inb & finite
     vid = jnp.where(ok, _flat_vid(coords, dims), 0)
-    okf = ok.astype(jnp.float32) * jnp.float32(sign)
+    s = jnp.asarray(signs, jnp.float32) if signs is not None else jnp.float32(sign)
+    okf = ok.astype(jnp.float32) * s
 
     # voxel-corner-relative coordinates in [0, res)
     rel = safe_pts - cell_abs.astype(jnp.float32) * res
@@ -419,14 +427,19 @@ def finalize_ndt_sums(sums: NDTMapSums, config: NDTConfig) -> NDTMap:
         staticvalue = jnp.zeros((1,), jnp.float32)
 
     occupied = count >= float(config.min_points_per_voxel)
-    pos = jnp.cumsum(occupied.astype(jnp.int32)) - 1
+    csum = jnp.cumsum(occupied.astype(jnp.int32))  # [V] inclusive
+    pos = csum - 1
     in_cap = occupied & (pos < cap)
     index = jnp.where(in_cap, pos, cap).astype(jnp.int32)
-    scatter_to = jnp.where(in_cap, pos, cap)
-    keys = jnp.full((cap + 1,), -1, jnp.int32).at[scatter_to].set(
-        jnp.where(in_cap, idx, -1), mode="drop"
-    )
-    keys = keys.at[cap].set(-1)
+    # keys[j] = flat vid of the j-th occupied voxel = first vid whose
+    # inclusive cumsum reaches j+1. searchsorted (65k queries x log2 V
+    # gathers) measured ~2x faster than the [V]-update scatter it replaces
+    # (the scatter walks all 4.19M updates; this touches ~1.4M gathers) —
+    # this runs once per keyframe on the incremental tracking-map path.
+    j = jnp.arange(cap + 1, dtype=jnp.int32)
+    total = jnp.minimum(csum[-1], cap)
+    keys = jnp.searchsorted(csum, j + 1, side="left").astype(jnp.int32)
+    keys = jnp.where(j < total, keys, -1)
     chas = keys >= 0
     cvid = jnp.maximum(keys, 0)
 
@@ -608,16 +621,17 @@ def _condition_and_pack(origin, count, mean, cov, staticvalue, dims, config: NDT
     v = dims[0] * dims[1] * dims[2]
     cap = config.max_compact_voxels
     occupied = count >= float(config.min_points_per_voxel)
-    pos = jnp.cumsum(occupied.astype(jnp.int32)) - 1
+    csum = jnp.cumsum(occupied.astype(jnp.int32))  # [V] inclusive
+    pos = csum - 1
     in_cap = occupied & (pos < cap)
     index = jnp.where(in_cap, pos, cap).astype(jnp.int32)
-    scatter_to = jnp.where(in_cap, pos, cap)
-    vid_all = jnp.arange(v, dtype=jnp.int32)
-    # compact candidate ids; ascending in vid by construction (cumsum order)
-    keys = jnp.full((cap + 1,), -1, jnp.int32).at[scatter_to].set(
-        jnp.where(in_cap, vid_all, -1), mode="drop"
-    )
-    keys = keys.at[cap].set(-1)
+    # compact candidate ids, ascending in vid: the j-th occupied voxel is
+    # the first vid whose inclusive cumsum reaches j+1 (searchsorted beats
+    # the [V]-update scatter ~2x on TPU; see finalize_ndt_sums)
+    j = jnp.arange(cap + 1, dtype=jnp.int32)
+    total = jnp.minimum(csum[-1], cap)
+    keys = jnp.searchsorted(csum, j + 1, side="left").astype(jnp.int32)
+    keys = jnp.where(j < total, keys, -1)
     chas = keys >= 0  # [cap+1] row is a real occupied voxel
     cvid = jnp.maximum(keys, 0)
 

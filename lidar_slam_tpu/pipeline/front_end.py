@@ -217,7 +217,7 @@ def _build_local_map(
     return cloud, ndt_map, coarse_map
 
 
-@partial(jax.jit, static_argnames=("fine_cfg", "coarse_cfg"))
+@partial(jax.jit, static_argnames=("fine_cfg", "coarse_cfg", "recenter_slack_frac"))
 def _incremental_map_update(
     fine_sums,
     coarse_sums,
@@ -232,18 +232,39 @@ def _incremental_map_update(
     new_origin_coarse,  # [3]
     fine_cfg: NDTConfig,
     coarse_cfg: NDTConfig,
+    recenter_slack_frac: float = 0.1,
 ):
     """One keyframe's map maintenance as a single device dispatch:
-    recenter -> evict outgoing -> scatter incoming -> recondition, for the
+    recenter -> evict outgoing + scatter incoming -> recondition, for the
     fine and coarse (2x resolution) grids. Replaces _build_local_map's full
-    rebuild on the incremental path (VoxelGrid.cpp:545-809 semantics)."""
+    rebuild on the incremental path (VoxelGrid.cpp:545-809 semantics).
+
+    Two costs are kept off the per-keyframe path:
+    - the dense roll only runs when the requested origin has drifted more
+      than `recenter_slack_frac` of the grid extent from the current one
+      (the grid is far larger than the sensor radius, so the window can
+      lag the vehicle by tens of metres before coverage is at risk);
+    - evict + add share ONE segment_sum pass via per-point signs (the
+      dense [V]-sized output traffic dominates, not the point count).
+    """
     world = kf_points @ pose[:3, :3].T + pose[:3, 3]
     world = jnp.where(kf_mask[:, None], world, 0.0)
 
+    both_pts = jnp.concatenate([old_world, world], axis=0)
+    both_mask = jnp.concatenate([old_mask, kf_mask], axis=0)
+    both_w = jnp.concatenate([old_weights, kf_weights], axis=0)
+    p = old_world.shape[0]
+    signs = jnp.concatenate(
+        [jnp.full((p,), -1.0, jnp.float32), jnp.ones((world.shape[0],), jnp.float32)]
+    )
+
     def one(sums, origin, cfg):
-        sums = recenter_ndt_sums(sums, origin)
-        sums = scatter_to_sums(sums, old_world, old_mask, old_weights, sign=-1.0)
-        sums = scatter_to_sums(sums, world, kf_mask, kf_weights)
+        extent = jnp.asarray(cfg.grid_dims, jnp.float32) * jnp.float32(cfg.resolution)
+        need = jnp.any(jnp.abs(origin - sums.origin) > recenter_slack_frac * extent)
+        sums = jax.lax.cond(
+            need, lambda s: recenter_ndt_sums(s, origin), lambda s: s, sums
+        )
+        sums = scatter_to_sums(sums, both_pts, both_mask, both_w, signs=signs)
         return sums, finalize_ndt_sums(sums, cfg)
 
     fine_sums, fine_map = one(fine_sums, new_origin_fine, fine_cfg)
@@ -278,6 +299,7 @@ def init_front_end_drive(cfg: FrontEndConfig, init_pose=None) -> FrontEndDriveSt
         resolution=cfg.ndt.resolution * 2.0,
         grid_dims=tuple(d // 2 for d in cfg.ndt.grid_dims),
         dense_stats=False,
+        fused_window=min(cfg.ndt.fused_window, 1024),
     )
     zero3 = jnp.zeros(3, jnp.float32)
     fine_sums = empty_ndt_sums(zero3, fine_cfg)
@@ -318,6 +340,7 @@ def front_end_drive(state: FrontEndDriveState, points_seq, mask_seq, cfg: FrontE
         resolution=cfg.ndt.resolution * 2.0,
         grid_dims=tuple(d // 2 for d in cfg.ndt.grid_dims),
         dense_stats=False,
+        fused_window=min(cfg.ndt.fused_window, 1024),
     )
     res_f, res_c = fine_cfg.resolution, coarse_cfg.resolution
     dims_f = jnp.asarray(fine_cfg.grid_dims, jnp.float32)
@@ -422,6 +445,9 @@ class FrontEnd:
             resolution=c.resolution * 2.0,
             grid_dims=(c.grid_dims[0] // 2, c.grid_dims[1] // 2, c.grid_dims[2] // 2),
             max_iter=max(5, c.max_iter // 3),
+            # the coarse grid holds ~1/8 the occupied voxels: a narrower key
+            # window is always sufficient (unresolved guard covers the rest)
+            fused_window=min(c.fused_window, 1024),
         )
 
     # -- reference API ------------------------------------------------------
@@ -677,4 +703,5 @@ class FrontEnd:
             c,
             resolution=c.resolution * 2.0,
             grid_dims=(c.grid_dims[0] // 2, c.grid_dims[1] // 2, c.grid_dims[2] // 2),
+            fused_window=min(c.fused_window, 1024),
         )

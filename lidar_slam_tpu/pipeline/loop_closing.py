@@ -17,8 +17,10 @@ LoopPose(index0, index1, relative pose) records for the back end.
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import List, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -50,6 +52,34 @@ class LoopClosingConfig:
     submap_capacity: int = 65536
     scan_capacity: int = 16384
     sc: ScanContextConfig = ScanContextConfig()
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _verify_step(sub_pts, sub_msk, scan_pts, scan_msk, guess, cfg: "LoopClosingConfig"):
+    """Whole loop verification as ONE device program: downsample the joint
+    submap + scan, build the NDT target, align, and score with the PCL-style
+    point-NN squared fitness (CloudRegistration, loop_closing.cpp:233-319 —
+    the reference's gate is pcl getFitnessScore, ndt_registration.cpp:63-66,
+    mean SQUARED NN distance to the filtered submap points; the manual-NDT
+    centroid fitness has a ~0.3 m planar floor at res 1.0 and can never pass
+    the 0.2 limit even at a perfect pose). The un-fused version cost ~6
+    dispatch+fetch chains (~600 ms on the tunneled backend); the tracking
+    maps here never serve fitness lookups, so dense stats are skipped."""
+    ndt_cfg = dataclasses.replace(cfg.ndt, dense_stats=False)
+    submap = voxel_downsample(
+        PointCloud(points=sub_pts, mask=sub_msk),
+        cfg.map_filter_leaf,
+        out_capacity=cfg.submap_capacity,
+    )
+    ndt_map = build_ndt_map(submap, ndt_cfg)
+    scan = voxel_downsample(
+        PointCloud(points=scan_pts, mask=scan_msk),
+        cfg.scan_filter_leaf,
+        out_capacity=cfg.scan_capacity,
+    )
+    r = ndt_align(ndt_map, scan, guess, ndt_cfg)
+    fit = point_nn_fitness_score(submap, scan, r.pose)
+    return r.pose, fit
 
 
 @dataclasses.dataclass
@@ -179,29 +209,26 @@ class LoopClosing:
         # recompiles across differently-sized submaps.
         bucket = 65536
         raw_cap = max(cfg.submap_capacity, ((len(sub) + bucket - 1) // bucket) * bucket)
-        submap = PointCloud.from_points(sub, capacity=raw_cap)
-        submap = voxel_downsample(submap, cfg.map_filter_leaf, out_capacity=cfg.submap_capacity)
-        ndt_map = build_ndt_map(submap, cfg.ndt)
+        sub_pts = np.zeros((raw_cap, 3), np.float32)
+        sub_pts[: len(sub)] = sub[:raw_cap]
+        sub_msk = np.zeros(raw_cap, bool)
+        sub_msk[: min(len(sub), raw_cap)] = True
 
         rec1 = self.store.load(index1)
-        scan = PointCloud(
-            points=jnp.asarray(rec1["points"]),
-            mask=jnp.asarray(rec1["mask"]),
-        )
-        scan = voxel_downsample(scan, cfg.scan_filter_leaf, out_capacity=cfg.scan_capacity)
-
         guess = self.key_poses[index1].copy()
 
         def align_and_score(g):
-            result = ndt_align(ndt_map, scan, jnp.asarray(g), cfg.ndt)
-            # the reference's loop gate is PCL's getFitnessScore — mean
-            # SQUARED NN distance to the filtered submap POINTS
-            # (loop_closing.cpp:78-80 instantiates the PCL wrapper;
-            # ndt_registration.cpp:63-66) — NOT the manual-NDT centroid
-            # fitness, which has a ~0.3 m planar floor at res 1.0 and can
-            # never pass the 0.2 limit even at a perfect pose.
-            fit = float(point_nn_fitness_score(submap, scan, result.pose))
-            return result, fit
+            pose, fit = _verify_step(
+                jnp.asarray(sub_pts),
+                jnp.asarray(sub_msk),
+                jnp.asarray(rec1["points"]),
+                jnp.asarray(rec1["mask"]),
+                jnp.asarray(g),
+                cfg,
+            )
+            # one batched fetch: pose + fitness in a single round trip
+            pose, fit = jax.device_get((pose, fit))
+            return np.asarray(pose), float(fit)
 
         result, fitness = align_and_score(guess)
         if fitness > cfg.fitness_score_limit and cfg.loop_method == "sc":
@@ -233,7 +260,7 @@ class LoopClosing:
                         break
         if fitness > cfg.fitness_score_limit:
             return None
-        rel = np.linalg.inv(self.key_poses[index0]) @ np.asarray(result.pose)
+        rel = np.linalg.inv(self.key_poses[index0]) @ result
         return LoopPose(
             index0=index0, index1=index1, relative_pose=rel.astype(np.float32), fitness=fitness
         )

@@ -179,6 +179,8 @@ class Matching:
             resolution=c.resolution * 2.0,
             grid_dims=(c.grid_dims[0] // 2, c.grid_dims[1] // 2, c.grid_dims[2] // 2),
             max_iter=max(5, c.max_iter // 3),
+            # ~1/8 the occupied voxels of the fine grid; narrower key window
+            fused_window=min(c.fused_window, 1024),
         )
 
     def _maybe_refresh_local_map(self, position: np.ndarray) -> None:
@@ -280,10 +282,25 @@ class Matching:
         use_coarse = cfg.coarse_to_fine and self.coarse_ndt_map is not None
         coarse_cfg = self._coarse_cfg() if use_coarse else None
         coarse_map = self.coarse_ndt_map if use_coarse else self.ndt_map
-        _, _, dev_pose, _ = _match_step(
+        f_pts, f_mask, dev_pose, dev_unres = _match_step(
             self.ndt_map, coarse_map, pj, mj, jnp.asarray(predict), cfg, coarse_cfg
         )
-        pose = np.asarray(dev_pose)
+        pose, unres = jax.device_get((dev_pose, dev_unres))
+        if cfg.ndt.resolve_gather() == "fused" and float(unres) > 0:
+            # fused-kernel exactness guard tripped (key window too narrow for
+            # this map density): redo the frame on the always-exact XLA path
+            frame = PointCloud(points=f_pts, mask=f_mask)
+            guess = jnp.asarray(predict)
+            if coarse_cfg is not None:
+                guess = ndt_align(
+                    coarse_map, frame, guess,
+                    dataclasses.replace(coarse_cfg, gather="two_level"),
+                ).pose
+            pose = ndt_align(
+                self.ndt_map, frame, guess,
+                dataclasses.replace(cfg.ndt, gather="two_level"),
+            ).pose
+        pose = np.asarray(pose)
         self.predict_step = (np.linalg.inv(self.current_pose) @ pose).astype(np.float32)
         self.current_pose = pose
         self._maybe_refresh_local_map(pose[:3, 3])

@@ -283,3 +283,36 @@ class TestLMSolver:
         t_l = np.asarray(r_lm.pose)[:3, 3]
         assert np.linalg.norm(t_l) < 0.05  # recovers identity
         assert np.linalg.norm(t_n - t_l) < 0.05
+
+
+class TestPointNNFitness:
+    """point_nn_fitness_score — PCL getFitnessScore semantics
+    (ndt_registration.cpp:63-66: mean SQUARED NN distance to target points)."""
+
+    def test_perfect_pose_near_zero(self):
+        from lidar_slam_tpu.models.registration import point_nn_fitness_score
+
+        rng = np.random.default_rng(0)
+        pts = rng.uniform(-20, 20, size=(4096, 3)).astype(np.float32)
+        tgt = PointCloud.from_points(pts)
+        src = PointCloud.from_points(pts[:1024] + rng.normal(0, 0.02, (1024, 3)).astype(np.float32))
+        fit = float(point_nn_fitness_score(tgt, src, jnp.eye(4)))
+        # mean squared distance ~ 3 * 0.02^2
+        assert fit < 0.01
+
+    def test_offset_pose_scores_higher(self):
+        from lidar_slam_tpu.models.registration import point_nn_fitness_score
+
+        rng = np.random.default_rng(1)
+        pts = rng.uniform(-20, 20, size=(4096, 3)).astype(np.float32)
+        tgt = PointCloud.from_points(pts)
+        src = PointCloud.from_points(pts[:1024])
+        T = np.eye(4, dtype=np.float32)
+        T[:3, 3] = [0.5, 0.0, 0.0]
+        fit0 = float(point_nn_fitness_score(tgt, src, jnp.eye(4)))
+        fit1 = float(point_nn_fitness_score(tgt, src, jnp.asarray(T)))
+        assert fit1 > fit0
+        # far-off pose: every point clamps at max_radius^2
+        T[:3, 3] = [500.0, 0.0, 0.0]
+        fit_far = float(point_nn_fitness_score(tgt, src, jnp.asarray(T)))
+        assert fit_far == pytest.approx(4.0)
