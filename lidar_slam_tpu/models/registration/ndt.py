@@ -307,6 +307,103 @@ def scatter_to_sums(
     )
 
 
+def coarsen_ndt_sums(sums: NDTMapSums) -> NDTMapSums:
+    """Derive the 2x-resolution sums from the fine sums in one dense pass.
+
+    The coarse tracking grid the front end aligns against first
+    (coarse-to-fine) used to be maintained independently — its own scatter,
+    evict and roll per keyframe. But every coarse voxel is exactly a 2x2x2
+    block of fine voxels, and the corner-relative moment sums transform in
+    closed form under the corner shift d = fine_corner - coarse_corner
+    (d in {0, res}^3, given by the fine cell's parity):
+
+        count' = count                 psum' = psum + count * d
+        ppsum' = ppsum + d psum^T + psum d^T + count d d^T
+
+    so the whole coarse grid is an elementwise shift + 2x2x2 block reduce
+    over the fine arrays (~1 ms at 4.2M voxels) instead of a second
+    scatter/evict/roll pipeline. REQUIRES the fine origin to be on the
+    coarse (2*res) lattice so block boundaries match absolute coarse
+    voxels — the front end snaps tracking-map origins accordingly.
+    """
+    d0, d1, d2 = sums.dims
+    assert d0 % 2 == 0 and d1 % 2 == 0 and d2 % 2 == 0
+    r = jnp.float32(sums.resolution)
+
+    # The z (minor/lane) pair-reduction as an MXU matmul — a strided
+    # minor-dim reduce lowers to lane shuffles and measured ~15x slower.
+    # P sums z pairs; Pw sums only the odd-z (dz = res) member.
+    zi = jnp.arange(d2)
+    P = jnp.zeros((d2, d2 // 2), jnp.float32).at[zi, zi // 2].set(1.0)
+    Pw = jnp.zeros((d2, d2 // 2), jnp.float32).at[zi, zi // 2].set(
+        (zi % 2).astype(jnp.float32)
+    )
+
+    def g(a):
+        return a.reshape(d0, d1, d2)
+
+    def zred(a):
+        return g(a) @ P
+
+    def zredw(a):
+        return g(a) @ Pw
+
+    cnt, ws = sums.count, sums.wsum
+    px, py, pz = sums.psum[:, 0], sums.psum[:, 1], sums.psum[:, 2]
+    xx, xy, xz = sums.ppsum[:, 0], sums.ppsum[:, 1], sums.ppsum[:, 2]
+    yy, yz, zz = sums.ppsum[:, 3], sums.ppsum[:, 4], sums.ppsum[:, 5]
+
+    C, Cw = zred(cnt), zredw(cnt)
+    PX, PY, PZ = zred(px), zred(py), zred(pz)
+    # z-shift folded at the z stage: X' = X + dz * Y sums to zred(X) + r*zredw(Y)
+    PZs = PZ + r * Cw  # pz' z-stage
+    XZs = zred(xz) + r * zredw(px)
+    YZs = zred(yz) + r * zredw(py)
+    ZZs = zred(zz) + 2.0 * r * zredw(pz) + r * r * Cw
+    XXz, XYz, YYz, Wz = zred(xx), zred(xy), zred(yy), zred(ws)
+
+    # x/y pair-reduction by major-axis even/odd slicing, with the x/y shift
+    # terms (dx = ox*r, dy = oy*r) applied per parity slice
+    def s4(a):
+        return (a[0::2, 0::2], a[0::2, 1::2], a[1::2, 0::2], a[1::2, 1::2])
+
+    C4, Cw4 = s4(C), s4(Cw)
+    PX4, PY4, PZ4 = s4(PX), s4(PY), s4(PZ)
+    OX = (0.0, 0.0, 1.0, 1.0)  # x parity per s4 slice
+    OY = (0.0, 1.0, 0.0, 1.0)
+
+    def red(z4, extra=lambda i: 0.0):
+        out = 0.0
+        for i in range(4):
+            out = out + z4[i] + extra(i)
+        return out
+
+    cnt_c = red(s4(C))
+    ws_c = red(s4(Wz))
+    px_c = red(s4(PX), lambda i: OX[i] * r * C4[i])
+    py_c = red(s4(PY), lambda i: OY[i] * r * C4[i])
+    pz_c = red(s4(PZs))
+    xx_c = red(s4(XXz), lambda i: OX[i] * (2.0 * r * PX4[i] + r * r * C4[i]))
+    yy_c = red(s4(YYz), lambda i: OY[i] * (2.0 * r * PY4[i] + r * r * C4[i]))
+    xy_c = red(
+        s4(XYz),
+        lambda i: OX[i] * r * PY4[i] + OY[i] * r * PX4[i] + OX[i] * OY[i] * r * r * C4[i],
+    )
+    xz_c = red(s4(XZs), lambda i: OX[i] * r * (PZ4[i] + r * Cw4[i]))
+    yz_c = red(s4(YZs), lambda i: OY[i] * r * (PZ4[i] + r * Cw4[i]))
+    zz_c = red(s4(ZZs))
+
+    return NDTMapSums(
+        origin=sums.origin,
+        count=cnt_c.reshape(-1),
+        psum=jnp.stack([px_c, py_c, pz_c], axis=-1).reshape(-1, 3),
+        ppsum=jnp.stack([xx_c, xy_c, xz_c, yy_c, yz_c, zz_c], axis=-1).reshape(-1, 6),
+        wsum=ws_c.reshape(-1),
+        dims=(d0 // 2, d1 // 2, d2 // 2),
+        resolution=float(sums.resolution) * 2.0,
+    )
+
+
 def recenter_ndt_sums(sums: NDTMapSums, new_origin) -> NDTMapSums:
     """Shift the window to a new origin (a lattice multiple): roll the dense
     arrays by the integer cell offset and zero the cells that wrapped — the

@@ -39,6 +39,7 @@ from ..geom.se3 import pose_inverse, transform_points
 from ..models.registration import (
     NDTConfig,
     build_ndt_map,
+    coarsen_ndt_sums,
     empty_ndt_sums,
     finalize_ndt_sums,
     ndt_align,
@@ -258,17 +259,20 @@ def _incremental_map_update(
         [jnp.full((p,), -1.0, jnp.float32), jnp.ones((world.shape[0],), jnp.float32)]
     )
 
-    def one(sums, origin, cfg):
-        extent = jnp.asarray(cfg.grid_dims, jnp.float32) * jnp.float32(cfg.resolution)
-        need = jnp.any(jnp.abs(origin - sums.origin) > recenter_slack_frac * extent)
-        sums = jax.lax.cond(
-            need, lambda s: recenter_ndt_sums(s, origin), lambda s: s, sums
-        )
-        sums = scatter_to_sums(sums, both_pts, both_mask, both_w, signs=signs)
-        return sums, finalize_ndt_sums(sums, cfg)
-
-    fine_sums, fine_map = one(fine_sums, new_origin_fine, fine_cfg)
-    coarse_sums, coarse_map = one(coarse_sums, new_origin_coarse, coarse_cfg)
+    extent = jnp.asarray(fine_cfg.grid_dims, jnp.float32) * jnp.float32(fine_cfg.resolution)
+    need = jnp.any(jnp.abs(new_origin_fine - fine_sums.origin) > recenter_slack_frac * extent)
+    fine_sums = jax.lax.cond(
+        need, lambda s: recenter_ndt_sums(s, new_origin_fine), lambda s: s, fine_sums
+    )
+    fine_sums = scatter_to_sums(fine_sums, both_pts, both_mask, both_w, signs=signs)
+    fine_map = finalize_ndt_sums(fine_sums, fine_cfg)
+    # the coarse grid is DERIVED from the fine sums (2x2x2 block moment
+    # shift, coarsen_ndt_sums) — no second scatter/evict/roll pipeline.
+    # `coarse_sums` is accepted and returned for state compatibility but is
+    # always the derived view; new_origin_coarse is implied (== fine origin,
+    # which the call sites snap to the coarse lattice).
+    coarse_sums = coarsen_ndt_sums(fine_sums)
+    coarse_map = finalize_ndt_sums(coarse_sums, coarse_cfg)
     return fine_sums, coarse_sums, world, fine_map, coarse_map
 
 
@@ -373,14 +377,16 @@ def front_end_drive(state: FrontEndDriveState, points_seq, mask_seq, cfg: FrontE
             old_mask = st.kf_masks[slot] & (st.cursor >= cfg.local_frame_num)
             old_weights = st.kf_weights[slot]
             center = pose[:3, 3]
-            origin_f = lattice_origin(center, res_f, dims_f)
-            origin_c = lattice_origin(center, res_c, dims_c)
+            # the fine origin snaps to the COARSE (2x res) lattice so the
+            # derived coarse grid's 2x2x2 blocks match absolute coarse
+            # voxels (coarsen_ndt_sums requirement)
+            origin_f = jnp.floor((center - 0.5 * dims_f * res_f) / res_c) * res_c
             fine_sums, coarse_sums, world, fine_map, coarse_map = (
                 _incremental_map_update.__wrapped__(
                     st.fine_sums, st.coarse_sums,
                     old_world, old_mask, old_weights,
                     kf.points, kf.mask, weights,
-                    pose, origin_f, origin_c, fine_cfg, coarse_cfg,
+                    pose, origin_f, origin_f, fine_cfg, coarse_cfg,
                 )
             )
             return st.replace(
@@ -606,8 +612,11 @@ class FrontEnd:
             fine_cfg = dataclasses.replace(cfg.ndt, dense_stats=False)
             coarse_cfg = dataclasses.replace(self._coarse_map_cfg(), dense_stats=False)
             center = np.asarray(pose, np.float32)[:3, 3]
-            origin_f = self._lattice_origin(center, fine_cfg)
-            origin_c = self._lattice_origin(center, coarse_cfg)
+            # fine origin on the COARSE lattice: the coarse grid is derived
+            # from the fine sums by 2x2x2 block reduction (coarsen_ndt_sums)
+            # and shares the fine origin
+            origin_f = self._lattice_origin(center, fine_cfg, snap_mult=2.0)
+            origin_c = origin_f
             if self.fine_sums is None:
                 self.fine_sums = empty_ndt_sums(origin_f, fine_cfg)
                 self.coarse_sums = empty_ndt_sums(origin_c, coarse_cfg)
@@ -690,12 +699,15 @@ class FrontEnd:
         )
 
     @staticmethod
-    def _lattice_origin(center, ndt_cfg: NDTConfig) -> np.ndarray:
+    def _lattice_origin(center, ndt_cfg: NDTConfig, snap_mult: float = 1.0) -> np.ndarray:
         """Grid corner centring `center`, snapped to the grid's OWN lattice
-        (a multiple of its resolution — required by scatter_to_sums)."""
+        (a multiple of its resolution — required by scatter_to_sums).
+        `snap_mult=2.0` snaps to the 2x (coarse) lattice instead, required
+        when the coarse tracking grid is derived via coarsen_ndt_sums."""
         res = ndt_cfg.resolution
+        snap = res * snap_mult
         dims = np.asarray(ndt_cfg.grid_dims, np.float32)
-        return (np.floor((center - 0.5 * dims * res) / res) * res).astype(np.float32)
+        return (np.floor((center - 0.5 * dims * res) / snap) * snap).astype(np.float32)
 
     def _coarse_map_cfg(self) -> NDTConfig:
         c = self.cfg.ndt

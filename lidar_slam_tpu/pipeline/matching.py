@@ -96,6 +96,40 @@ def _match_step(
     return frame.points, frame.mask, r.pose, unresolved + r.unresolved
 
 
+@partial(jax.jit, static_argnames=("cfg", "coarse_cfg"))
+def matching_drive(
+    fine_map,
+    coarse_map,
+    pts_seq,  # [T, N, 3] preloaded raw frames
+    msk_seq,  # [T, N]
+    init_pose,  # [4, 4]
+    cfg: "MatchingConfig",
+    coarse_cfg: Optional[NDTConfig],
+):
+    """Whole-sequence localization as ONE device program: chains _match_step
+    through `lax.scan` with constant-velocity prediction (the per-frame host
+    round trip disappears; frame-to-frame dependency is preserved, honest
+    sequential semantics). Valid BETWEEN local-map refreshes — the box-crop
+    refresh (matching.cpp:166-183) is a host decision, so callers drive in
+    chunks and refresh between chunks (the 200 m box with a 50 m margin
+    gives ~100 m of travel per chunk). Returns (poses [T, 4, 4],
+    unresolved [T])."""
+
+    def one(carry, inp):
+        cur, step = carry
+        pts, msk = inp
+        predict = cur @ step
+        _, _, pose, unres = _match_step.__wrapped__(
+            fine_map, coarse_map, pts, msk, predict, cfg, coarse_cfg
+        )
+        new_step = jnp.linalg.solve(cur, pose)
+        return (pose, new_step), (pose, unres)
+
+    eye = jnp.eye(4, dtype=jnp.float32)
+    (_, _), (poses, unres) = jax.lax.scan(one, (init_pose, eye), (pts_seq, msk_seq))
+    return poses, unres
+
+
 @partial(jax.jit, static_argnames=("dim", "cell"))
 def _height_map(points, mask, origin, dim: int, cell: float):
     """Per-cell mean/std of z over the local map (generateGauss2DMapCells)."""
@@ -244,9 +278,10 @@ class Matching:
         return float(yaw)
 
     # -- per-frame update ---------------------------------------------------
-    def update(self, points, mask=None):
-        """Matching::Update (matching.cpp:185-265). Returns pose [4,4] or
-        None while uninitialized."""
+    def preload(self, points, mask=None):
+        """Pad to raw capacity and upload. Safe from a prefetch thread, so
+        frame i+1's pad + H2D overlaps frame i's compute (cli._prefetch) —
+        same protocol as FrontEnd.preload."""
         cfg = self.cfg
         points = np.asarray(points, np.float32)
         if mask is None:
@@ -258,8 +293,13 @@ class Matching:
         msk_fixed = np.zeros(cfg.raw_capacity, bool)
         pts_fixed[:n] = points[:n]
         msk_fixed[:n] = mask[:n]
-        pj = jnp.asarray(pts_fixed)
-        mj = jnp.asarray(msk_fixed)
+        return jnp.asarray(pts_fixed), jnp.asarray(msk_fixed)
+
+    def update(self, points, mask=None, preloaded=None):
+        """Matching::Update (matching.cpp:185-265). Returns pose [4,4] or
+        None while uninitialized."""
+        cfg = self.cfg
+        pj, mj = preloaded if preloaded is not None else self.preload(points, mask)
 
         if not self._init:
             mjf = mj & finite_mask(pj)

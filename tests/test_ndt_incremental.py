@@ -167,3 +167,36 @@ class TestLongRunDrift:
         live = np.concatenate(clouds[-window:])
         m_full = build_ndt_map(PointCloud.from_points(live), CFG, origin=ORIGIN)
         assert_maps_close(m_inc, m_full, atol=5e-4)
+
+
+class TestCoarsenSums:
+    """coarsen_ndt_sums: the derived 2x grid must match an independently
+    scattered one (same points, coarse lattice) to float rounding."""
+
+    def test_matches_direct_coarse_scatter(self):
+        from lidar_slam_tpu.models.registration import (
+            NDTConfig, coarsen_ndt_sums, empty_ndt_sums, scatter_to_sums,
+        )
+
+        rng = np.random.default_rng(3)
+        pts = jnp.asarray(rng.uniform(2.0, 30.0, size=(4096, 3)).astype(np.float32))
+        mask = jnp.asarray(rng.random(4096) < 0.9)
+        w = jnp.asarray(rng.uniform(0.2, 1.0, 4096).astype(np.float32))
+        fine_cfg = NDTConfig(resolution=1.0, grid_dims=(32, 32, 32))
+        coarse_cfg = NDTConfig(resolution=2.0, grid_dims=(16, 16, 16))
+        origin = jnp.zeros(3)  # on the coarse (2*res) lattice
+
+        fine = scatter_to_sums(empty_ndt_sums(origin, fine_cfg), pts, mask, w)
+        derived = coarsen_ndt_sums(fine)
+        direct = scatter_to_sums(empty_ndt_sums(origin, coarse_cfg), pts, mask, w)
+
+        np.testing.assert_allclose(np.asarray(derived.count), np.asarray(direct.count))
+        np.testing.assert_allclose(np.asarray(derived.wsum), np.asarray(direct.wsum), rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(derived.psum), np.asarray(direct.psum), rtol=1e-4, atol=1e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(derived.ppsum), np.asarray(direct.ppsum), rtol=1e-3, atol=1e-2
+        )
+        assert derived.dims == (16, 16, 16)
+        assert derived.resolution == 2.0
