@@ -70,10 +70,20 @@ def _run_mapping(args) -> int:
     cfg = load_config(args.config)
     resume = bool(getattr(args, "resume", False))
     store = KeyframeStore(args.out, resume=resume)
+    mesh = None
+    n_mesh = int(getattr(args, "mesh_devices", 0) or 0)
+    if n_mesh > 1:
+        # multi-chip mapping: point-shard the per-frame NDT reductions over
+        # a device mesh (parallel/sharded_ndt.py); map maintenance runs
+        # replicated. Trajectory-equal to single-device
+        # (tests/test_parallel.py::TestShardedPipeline).
+        from .parallel import make_mesh
+
+        mesh = make_mesh(n_mesh)
     if getattr(args, "front_end", "ndt") == "aloam":
         fe = _AloamFrontEnd(capacity=65536 if getattr(args, "synthetic", None) else 131072)
     else:
-        fe = FrontEnd(cfg.front_end)
+        fe = FrontEnd(cfg.front_end, mesh=mesh)
     be = BackEnd(cfg.back_end, store=store)
     lc = LoopClosing(cfg.loop_closing, store=store, data_path=args.out)
     viewer = Viewer(cfg.viewer, store)
@@ -366,6 +376,12 @@ def main(argv=None) -> int:
     mp = sub.add_parser("mapping", help="build a map (front end + back end + loops)")
     add_source(mp)
     mp.add_argument("--out", default="slam_data")
+    mp.add_argument(
+        "--mesh-devices",
+        type=int,
+        default=0,
+        help="shard per-frame NDT reductions over N local devices (0 = off)",
+    )
     mp.add_argument(
         "--front-end", dest="front_end", choices=["ndt", "aloam"], default="ndt",
         help="odometry front end: NDT scan-to-map (mapping.launch) or "

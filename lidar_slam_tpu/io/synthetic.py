@@ -302,6 +302,42 @@ def simulate_spinning_scan(
     return pts, mask
 
 
+def skew_scan(
+    points: np.ndarray,
+    mask: np.ndarray,
+    angular_vel,
+    linear_vel,
+    scan_period: float = 0.1,
+) -> np.ndarray:
+    """Distort a start-of-sweep-referenced scan as a spinning sensor moving
+    at (angular_vel, linear_vel) would record it — the exact forward model
+    of models.scan_adjust.adjust_cloud (p_rec = exp(w t) @ (p0 + v t), per-
+    point time from azimuth fraction). Lets e2e tests exercise the
+    reference's wired-but-disabled de-skew path
+    (data_pretreat_flow.cpp:268-270, distortion_adjust.cpp:10-69) with
+    known ground truth."""
+    pts = np.asarray(points, np.float64)
+    w = np.asarray(angular_vel, np.float64)
+    v = np.asarray(linear_vel, np.float64)
+    start = np.arctan2(pts[0, 1], pts[0, 0])
+    azim = np.arctan2(pts[:, 1], pts[:, 0]) - start
+    azim = np.where(azim < 0, azim + 2 * np.pi, azim)
+    t = np.clip(azim / (2 * np.pi), 0.0, 1.0) * scan_period  # [N]
+
+    shifted = pts + v[None, :] * t[:, None]
+    rot = w[None, :] * t[:, None]  # [N, 3] rotation vectors
+    ang = np.linalg.norm(rot, axis=1)
+    safe = np.maximum(ang, 1e-12)
+    axis = rot / safe[:, None]
+    c, s = np.cos(ang)[:, None], np.sin(ang)[:, None]
+    # Rodrigues: R p = c p + s (axis x p) + (1-c)(axis.p) axis
+    cross = np.cross(axis, shifted)
+    dot = np.sum(axis * shifted, axis=1, keepdims=True)
+    out = c * shifted + s * cross + (1.0 - c) * dot * axis
+    out = np.where(ang[:, None] > 1e-12, out, shifted)
+    return np.where(np.asarray(mask, bool)[:, None], out, pts).astype(np.float32)
+
+
 def bboxes_for(world: SyntheticWorld, pose: np.ndarray, t: float = 0.0) -> np.ndarray:
     """Per-frame detector bboxes [B, 8] in the SENSOR frame for the world's
     dynamic boxes (the CloudBbox channel, sensor_data/cloud_bbox.hpp:12-26)."""

@@ -107,8 +107,9 @@ class NDTConfig:
     # one x-neighbour span (+/- dims[1]*dims[2] voxel ids) — the kernel
     # reports an `unresolved` count if it ever doesn't (checked in tests).
     fused_window: int = 2048
-    # points per fused-kernel grid step
-    fused_tile: int = 256
+    # points per fused-kernel grid step; must be a multiple of 1024 (the
+    # kernel splits each tile into 8 sublane groups of tile/8 >= 128 lanes)
+    fused_tile: int = 1024
     weight_derivatives: bool = True
     # More-Thuente step-length iterations. 0 (default) reproduces the
     # reference's effective behaviour (its loop is dead code — see module
@@ -873,7 +874,13 @@ def _ndt_derivatives_fused(
     Numerically equivalent to the XLA path (exact as long as the kernel's
     `unresolved` output is 0 — asserted in tests, checkable here with
     return_unresolved=True)."""
-    from ...ops.pallas.ndt_fused import KEY_SENTINEL, ndt_reduce_fused, unpack_results, _NROWS
+    from ...ops.pallas.ndt_fused import (
+        KEY_SENTINEL,
+        ndt_reduce_fused,
+        pack_rows_x8,
+        unpack_results,
+        _NROWS,
+    )
     from ...ops.pallas.ndt_reduce import pallas_supported
 
     d1, d2 = config.gauss_params()
@@ -913,8 +920,9 @@ def _ndt_derivatives_fused(
     n = points.shape[0]
     pad = (-n) % tile
     cell_p = jnp.pad(cell, ((0, pad), (0, 0)), constant_values=-(2**20))
-    cell_t = cell_p.T  # [3, N']
+    cell_x8 = pack_rows_x8(cell_p.T, tile)  # [3*8, N'/8] sublane layout
     rows_t = jnp.pad(rows, ((0, pad), (0, 0))).T  # [31, N']
+    rows_x8 = pack_rows_x8(rows_t, tile)  # [31*8, N'/8] sublane layout
 
     c0 = ndt_map.keys.shape[0]
     cpad = (-c0) % 128
@@ -924,16 +932,17 @@ def _ndt_derivatives_fused(
     c = keys.shape[0]
     window = min(config.fused_window, c)
 
-    # per-tile key-window start, anchored at the smallest candidate vid any
-    # point in the tile can touch. Out-of-grid boundary points can still
-    # have in-bounds stencil neighbours, so the anchor uses the CLAMPED cell
+    # per-GROUP key-window start (groups of tile/8 points — the kernel's
+    # sublane groups), anchored at the smallest candidate vid any point in
+    # the group can touch. Out-of-grid boundary points can still have
+    # in-bounds stencil neighbours, so the anchor uses the CLAMPED cell
     # (each component moves <= 1 for a point with any in-bounds candidate,
     # and offsets are +-1), giving |candidate - clamped vid| <= 2 strides.
     span = 2 * (dims[1] * dims[2] + dims[2] + 1)
     cell_cl = jnp.clip(cell_p, 0, jnp.asarray(dims, jnp.int32) - 1)
     vid0 = (cell_cl[:, 0] * dims[1] + cell_cl[:, 1]) * dims[2] + cell_cl[:, 2]
     vid0 = jnp.where(jnp.pad(mask, (0, pad)), vid0, KEY_SENTINEL)
-    vmin = jnp.min(vid0.reshape(-1, tile), axis=1) - span  # [G]
+    vmin = jnp.min(vid0.reshape(-1, tile // 8), axis=1) - span  # [G * 8]
     lo_key = jnp.searchsorted(keys, vmin, side="left").astype(jnp.int32)
     lo = jnp.clip((lo_key // 128) * 128, 0, c - window)
 
@@ -945,8 +954,8 @@ def _ndt_derivatives_fused(
         lo,
         keys,
         table_t,
-        cell_t,
-        rows_t,
+        cell_x8,
+        rows_x8,
         dims=dims,
         offsets=offsets,
         d1=float(d1),

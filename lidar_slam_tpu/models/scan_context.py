@@ -202,7 +202,10 @@ class SCManager:
         if self.count < 2:
             return -1, float("inf"), 0.0
         q = self.count - 1
-        hi = max(0, q - self.cfg.num_exclude_recent)
+        # the reference searches the first (count - num_exclude_recent)
+        # descriptors, i.e. [0, count - N) (scan_context.cpp:261-274) — using
+        # q here would always exclude one extra (the newest eligible) entry
+        hi = max(0, self.count - self.cfg.num_exclude_recent)
         if hi == 0:
             return -1, float("inf"), 0.0
         # everything stays on device; only the three result scalars travel

@@ -15,28 +15,36 @@ This kernel removes both costs:
   index grid, no gather instructions. Keys (sorted by flat voxel id) and
   the transposed stats table stay resident in VMEM across all grid steps.
 - Point tiles are spatially coherent (clouds come out of the voxel
-  downsample in cell order), so each tile's stencil candidates span a
-  narrow voxel-id range. The kernel dynamic-slices a fixed-width KEY
-  WINDOW around that range (per-tile start precomputed with one
+  downsample in cell order), so each 128-point GROUP's stencil candidates
+  span a narrow voxel-id range. The kernel dynamic-slices a fixed-width
+  KEY WINDOW around that range (per-group start precomputed with one
   searchsorted) and compares/contracts only against the window — the
   selection cost scales with the window, not the table. Candidates that
   fall outside the window are counted into an `unresolved` output so
   callers can verify exactness (0 in all measured configurations; widen
   `window` if it ever trips).
 - The full Magnusson score/gradient/Hessian math
-  (NormalDistributionsTransform.cpp:391-500) runs on the selected [16, T]
-  stats while they are still in VMEM, accumulating 28 scalars
-  (score, grad[6], upper-triangular Hessian[21]) per tile. HBM traffic per
-  evaluation is just the per-point inputs (~4 MB) + tiny partials, instead
-  of ~50 MB of gathers and intermediates.
+  (NormalDistributionsTransform.cpp:391-500) runs on the selected stats
+  while they are still in VMEM, accumulating 28 scalars (score, grad[6],
+  upper-triangular Hessian[21]) per tile. HBM traffic per evaluation is
+  just the per-point inputs (~4 MB) + tiny partials, instead of ~50 MB of
+  gathers and intermediates.
 
 The stencil loop (7 or 27 neighbour offsets) is unrolled inside the kernel
 with static offsets, so per-point inputs (position, Jacobian/Hessian rows,
 weight) are read once for all slots.
 
-Layouts are TPU-native: all per-point data is [rows, N] (components on
-sublanes, points on lanes); per-row ops are [1, T] vectors; the selection
-contraction is a [16, W] @ [W, T] f32 matmul per stencil slot.
+SUBLANE LAYOUT (the round-5 4x): per-point f32 data arrives pre-relaid as
+[_NROWS * 8, tile/8] — each logical row k occupies 8 sublanes holding the
+tile's 8 point-groups, so every elementwise op in the Magnusson math is a
+full [8, gsz] vreg instead of a [1, tile] strip using one sublane of
+eight. The one-hot selection still contracts per group ([16, W] @
+[W, gsz] on the MXU); per-group stats are then assembled into the same
+[8, gsz]-per-stat layout by ONE static permutation matmul
+(P[k*8+s, s*16+k] = 1), which is the MXU doing the lane<->sublane
+relayout for free. Integer candidate-id math stays in the cheap flat
+[1, tile] layout (cell coords are int32 and the op count there is tiny);
+group g's candidates are the free lane slice [g*gsz:(g+1)*gsz].
 """
 
 from __future__ import annotations
@@ -67,14 +75,18 @@ _UPPER = [(i, j) for i in range(6) for j in range(i, 6)]
 # sentinel for unused key rows: sorts above every real voxel id
 KEY_SENTINEL = np.int32(2**30)
 
+_NGROUP = 8  # point groups per tile = sublanes of an f32 vreg
+
 
 def _kernel(
-    lo_ref,  # [1, G] int32 SMEM: per-tile key-window start (multiple of 128)
+    lo_ref,  # [1, G*8] int32 SMEM: per-group key-window start (multiple of 128)
     keys_ref,  # [C, 1] int32 sorted flat voxel ids (KEY_SENTINEL pads)
     table_ref,  # [16, C] f32 transposed packed stats (same row order)
-    cell_ref,  # [3, T] int32 base voxel coords per point
-    rows_ref,  # [_NROWS, T] f32 per-point data
+    cell_ref,  # [3 * 8, T // 8] int32 base voxel coords (x8 sublane layout)
+    rows_ref,  # [_NROWS * 8, T // 8] f32 per-point data (x8 sublane layout)
     out_ref,  # [_NOUT, 128] f32 accumulated sums (column 0)
+    vid_scr,  # [n_off * 8, T // 8] int32 VMEM scratch: candidate ids
+    stats_scr,  # [n_off * 128, T // 8] f32 VMEM scratch
     *,
     dims: Tuple[int, int, int],
     offsets: Tuple[Tuple[int, int, int], ...],
@@ -85,35 +97,21 @@ def _kernel(
     gate_radius: bool,
     weight_derivatives: bool,
 ):
-    t = cell_ref.shape[1]
+    gsz = cell_ref.shape[1]
+    n_off = len(offsets)
     i = pl.program_id(0)
 
-    start = pl.multiple_of(lo_ref[0, i], 128)
-    kw = keys_ref[pl.ds(start, window), :]  # [W, 1]
-    tw = table_ref[:, pl.ds(start, window)]  # [16, W]
-    # keys are sorted, so the window's value range is [min, max]
-    kfirst = jnp.min(kw)
-    klast = jnp.max(kw)
-
-    cx = cell_ref[0:1, :]
-    cy = cell_ref[1:2, :]
-    cz = cell_ref[2:3, :]
-    xp0 = rows_ref[_XP : _XP + 1, :]
-    xp1 = rows_ref[_XP + 1 : _XP + 2, :]
-    xp2 = rows_ref[_XP + 2 : _XP + 3, :]
-    pw = rows_ref[_PW : _PW + 1, :]
-
-    def jr(r, a):
-        k = _JR + 3 * r + a
-        return rows_ref[k : k + 1, :]
-
-    def hr(pair, r):
-        k = _HR + 3 * pair + r
-        return rows_ref[k : k + 1, :]
-
-    acc = [jnp.zeros((1, t), jnp.float32) for _ in range(_NOUT)]
-
-    for (ox, oy, oz) in offsets:
+    # ---- candidate voxel ids, [8, gsz] sublane layout --------------------
+    # (full-vreg int ops) staged through VMEM scratch so the selection loop
+    # below can dynamic-slice one group's row without holding all candidate
+    # blocks in registers. Out-of-bounds candidates get -2 (never matches a
+    # key, and sorts below every window so the unresolved guard ignores it);
+    # masked points carry hugely negative cells from the wrapper, same
+    # effect.
+    cx = cell_ref[0:8, :]
+    cy = cell_ref[8:16, :]
+    cz = cell_ref[16:24, :]
+    for o, (ox, oy, oz) in enumerate(offsets):
         nx = cx + ox
         ny = cy + oy
         nz = cz + oz
@@ -126,29 +124,81 @@ def _kernel(
             & (nz < dims[2])
         )
         vid = (nx * dims[1] + ny) * dims[2] + nz
-        vid = jnp.where(inb, vid, -2)  # [1, T]; -2 never matches a key
+        vid_scr[o * 8 : (o + 1) * 8, :] = jnp.where(inb, vid, -2)
 
+    # ---- per-group one-hot selection on the MXU --------------------------
+    # Each 128-point group gets its own key window (sliced once, reused for
+    # all stencil slots). Selected [16, gsz] stats land in scratch at rows
+    # [o*128 + 16*s, +16) — 8 groups x 16 stats = 128 rows per slot.
+    # fori_loop (not an unrolled Python loop) bounds register pressure to
+    # ONE group's working set — the unrolled form spilled ~112 MB of vregs
+    # (eight live [W, 1] windows + onehots) and broke the v5e VMEM budget.
+    def group_body(s, unres_acc):
+        start = pl.multiple_of(lo_ref[0, i * _NGROUP + s], 128)
+        kw = keys_ref[pl.ds(start, window), :]  # [W, 1]
+        tw = table_ref[:, pl.ds(start, window)]  # [16, W]
         # exactness guard: an in-bounds candidate ABOVE the window's value
-        # range might exist in unloaded keys — count it (callers check == 0).
-        # The lower side needs no guard: the wrapper anchors the window with
-        # searchsorted(keys, per-tile candidate minimum), so every key below
-        # kfirst is provably below every candidate of this tile.
-        acc[_UNRESOLVED] = acc[_UNRESOLVED] + (inb & (vid > klast)).astype(jnp.float32)
+        # range might exist in unloaded keys — count it (callers check
+        # == 0). The lower side needs no guard: the wrapper anchors the
+        # window with searchsorted(keys, per-group candidate minimum).
+        klast = jnp.max(kw)
+        u = unres_acc
+        for o in range(n_off):
+            vid_s = vid_scr[pl.ds(o * 8 + s, 1), :]  # [1, gsz]
+            u = u + jnp.sum((vid_s > klast).astype(jnp.float32))
+            onehot = (kw == vid_s).astype(jnp.float32)  # [W, gsz]
+            stats_scr[pl.ds(o * 128 + 16 * s, 16), :] = jnp.dot(
+                tw, onehot, preferred_element_type=jnp.float32
+            )
+        return u
 
-        onehot = (kw == vid).astype(jnp.float32)  # [W, T]
-        stats = jnp.dot(tw, onehot, preferred_element_type=jnp.float32)  # [16, T]
+    unres = jax.lax.fori_loop(0, _NGROUP, group_body, jnp.float32(0.0))
 
-        mu0 = stats[0:1, :]
-        mu1 = stats[1:2, :]
-        mu2 = stats[2:3, :]
-        sv = stats[3:4, :]
-        ixx = stats[4:5, :]
-        ixy = stats[5:6, :]
-        ixz = stats[6:7, :]
-        iyy = stats[7:8, :]
-        iyz = stats[8:9, :]
-        izz = stats[9:10, :]
-        vvalid = stats[10:11, :]
+    # ---- static permutation: [s*16 + k] rows -> [k*8 + s] rows -----------
+    # One [128, 128] MXU matmul per slot turns the group-major stats block
+    # into stat-major [8, gsz] sublane blocks (stat k at rows 8k..8k+7) —
+    # the MXU doing the lane<->sublane relayout for free.
+    rp = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+    cp = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    perm = (cp == (rp % _NGROUP) * 16 + rp // _NGROUP).astype(jnp.float32)
+
+    # ---- per-point rows, x8 sublane layout -------------------------------
+    def row8(k):
+        return rows_ref[8 * k : 8 * (k + 1), :]
+
+    xp0 = row8(_XP)
+    xp1 = row8(_XP + 1)
+    xp2 = row8(_XP + 2)
+    pw = row8(_PW)
+
+    def jr(r, a):
+        return row8(_JR + 3 * r + a)
+
+    def hr(pair, r):
+        return row8(_HR + 3 * pair + r)
+
+    # ---- Magnusson math on full [8, gsz] vregs, fori over stencil slots --
+    def slot_body(o, acc):
+        stats2 = jnp.dot(
+            perm,
+            stats_scr[pl.ds(o * 128, 128), :],
+            preferred_element_type=jnp.float32,
+        )  # [128, gsz]
+
+        def st8(k, _s=stats2):
+            return _s[8 * k : 8 * (k + 1), :]
+
+        mu0 = st8(0)
+        mu1 = st8(1)
+        mu2 = st8(2)
+        sv = st8(3)
+        ixx = st8(4)
+        ixy = st8(5)
+        ixz = st8(6)
+        iyy = st8(7)
+        iyz = st8(8)
+        izz = st8(9)
+        vvalid = st8(10)
 
         e0 = xp0 - mu0
         e1 = xp1 - mu1
@@ -168,9 +218,10 @@ def _kernel(
         gf = gate.astype(jnp.float32)
         expt = jnp.where(gate, expt, 0.0)
 
+        out = list(acc)
         # score term: gf * sv * pw * (-d1) * expt  (updateDerivatives,
         # NormalDistributionsTransform.cpp:436-441 with the voxel weight)
-        acc[0] = acc[0] + gf * sv * pw * jnp.float32(-d1) * expt
+        out[0] = acc[0] + gf * sv * pw * jnp.float32(-d1) * expt
         dw = sv * pw if weight_derivatives else pw
         f = gf * dw * jnp.float32(d1 * d2) * expt
 
@@ -181,7 +232,7 @@ def _kernel(
             qj.append(q0 * jr(0, a) + q1 * jr(1, a) + q2 * jr(2, a))
 
         for p in range(6):
-            acc[1 + p] = acc[1 + p] + f * qj[p]
+            out[1 + p] = acc[1 + p] + f * qj[p]
 
         # cj[r, a] = (Cinv jrot_a)[r]
         ci = ((ixx, ixy, ixz), (ixy, iyy, iyz), (ixz, iyz, izz))
@@ -207,7 +258,11 @@ def _kernel(
                 # h2 = f q . hrot[a, b, :]
                 pk = pair_idx[(a, b) if a <= b else (b, a)]
                 term = term + f * (q[0] * hr(pk, 0) + q[1] * hr(pk, 1) + q[2] * hr(pk, 2))
-            acc[7 + u] = acc[7 + u] + term
+            out[7 + u] = acc[7 + u] + term
+        return tuple(out)
+
+    acc0 = tuple(jnp.zeros((_NGROUP, gsz), jnp.float32) for _ in range(_UNRESOLVED))
+    acc = jax.lax.fori_loop(0, n_off, slot_body, acc0)
 
     # single resident [32, 128] accumulator block (TPU wants last dim 128);
     # zero it on the first step, then accumulate per-step sums in column 0
@@ -215,10 +270,13 @@ def _kernel(
     def _():
         out_ref[:, :] = jnp.zeros_like(out_ref)
 
-    for k in range(_NOUT):
+    for k in range(_UNRESOLVED):
         out_ref[k : k + 1, 0:1] = out_ref[k : k + 1, 0:1] + jnp.sum(
-            acc[k], axis=1, keepdims=True
+            acc[k], axis=(0, 1), keepdims=True
         )
+    out_ref[_UNRESOLVED : _UNRESOLVED + 1, 0:1] = (
+        out_ref[_UNRESOLVED : _UNRESOLVED + 1, 0:1] + unres.reshape(1, 1)
+    )
 
 
 @functools.partial(
@@ -237,11 +295,11 @@ def _kernel(
     ),
 )
 def ndt_reduce_fused(
-    lo,  # [G] int32 per-tile key-window starts (multiples of 128)
+    lo,  # [G * 8] int32 per-group key-window starts (multiples of 128)
     keys,  # [C] int32 sorted (KEY_SENTINEL padding); C multiple of 128
     table_t,  # [16, C] f32
-    cell,  # [3, N] int32 (N multiple of tile)
-    rows,  # [_NROWS, N] f32
+    cell_x8,  # [3 * 8, N // 8] int32 (x8 sublane layout, see module doc)
+    rows_x8,  # [_NROWS * 8, N // 8] f32 (x8 sublane layout, see module doc)
     dims: Tuple[int, int, int],
     offsets: Tuple[Tuple[int, int, int], ...],
     d1: float,
@@ -249,15 +307,16 @@ def ndt_reduce_fused(
     res2: float,
     gate_radius: bool,
     weight_derivatives: bool,
-    tile: int = 256,
-    window: int = 2048,
+    tile: int = 1024,
+    window: int = 1024,
     interpret: bool = False,
 ):
     """Returns [32]: score, grad[6], hess upper[21], unresolved count, pad."""
     c = keys.shape[0]
-    n = cell.shape[1]
+    n = cell_x8.shape[1] * _NGROUP
     window = min(window, c)
-    assert c % 128 == 0 and n % tile == 0
+    assert c % 128 == 0 and n % tile == 0 and tile % (8 * 128) == 0
+    gsz = tile // _NGROUP
     grid = (n // tile,)
 
     kern = functools.partial(
@@ -278,14 +337,40 @@ def ndt_reduce_fused(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((c, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((16, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_NROWS, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * _NGROUP, gsz), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (_NROWS * _NGROUP, gsz), lambda i: (0, i), memory_space=pltpu.VMEM
+            ),
         ],
         out_specs=pl.BlockSpec((_NOUT, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((_NOUT, 128), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((len(offsets) * 8, gsz), jnp.int32),
+            pltpu.VMEM((len(offsets) * 128, gsz), jnp.float32),
+        ],
+        # the resident table ([16, C] f32, up to ~4 MB at C=65k) plus the
+        # unrolled per-group one-hot temporaries exceed the default 16 MB
+        # scoped-vmem budget; v5e VMEM is far larger — let Mosaic use it
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(lo.reshape(1, -1), keys.reshape(c, 1), table_t, cell, rows)
+    )(lo.reshape(1, -1), keys.reshape(c, 1), table_t, cell_x8, rows_x8)
     return partials[:, 0]
+
+
+def pack_rows_x8(rows_t, tile):
+    """[_NROWS, N] flat-point layout -> [_NROWS * 8, N // 8] x8 layout.
+
+    Row k's tile [s*gsz : (s+1)*gsz] lane strips become sublanes k*8+s, so
+    the kernel reads every logical row as a full [8, gsz] vreg block.
+    """
+    nrows, n = rows_t.shape
+    g = n // tile
+    gsz = tile // _NGROUP
+    return (
+        rows_t.reshape(nrows, g, _NGROUP, gsz)
+        .transpose(0, 2, 1, 3)
+        .reshape(nrows * _NGROUP, n // _NGROUP)
+    )
 
 
 def unpack_results(sums):

@@ -93,7 +93,42 @@ def _preprocess(points, mask, capacity: int, leaf: float) -> PointCloud:
     return voxel_downsample(cloud, leaf, out_capacity=capacity)
 
 
-@partial(jax.jit, static_argnames=("capacity", "leaf", "fine_cfg", "coarse_cfg"))
+def coarse_tracking_cfg(c: NDTConfig) -> NDTConfig:
+    """THE coarse-pass config — single source of truth for every tracking
+    path (host `_track_step`, scan-chained drive, map finalization). 2x
+    resolution / half dims widens the convergence basin; full max_iter (the
+    |step| < trans_eps test ends the pass early on easy frames anyway — a
+    hard cap at max_iter//3 was measured to diverge from the drive path on
+    dynamic-heavy scenes). The coarse grid holds ~1/8 the occupied voxels,
+    so a narrower key window always suffices (unresolved guard covers the
+    rest); dense stats are never consumed by the align path."""
+    return dataclasses.replace(
+        c,
+        resolution=c.resolution * 2.0,
+        grid_dims=tuple(d // 2 for d in c.grid_dims),
+        dense_stats=False,
+        fused_window=min(c.fused_window, 1024),
+    )
+
+
+def _aligner(mesh):
+    """ndt_align, point-sharded over `mesh` when one is given.
+
+    The sharded form reduces per-eval (score, grad[6], hess[36], unresolved)
+    with a psum over the mesh's data axis (parallel/sharded_ndt.py) — the
+    production multi-chip registration path, not a demo beside it."""
+    if mesh is None:
+        return ndt_align
+
+    from ..parallel.sharded_ndt import sharded_ndt_align
+
+    def align(m, frame, guess, c):
+        return sharded_ndt_align.__wrapped__(m, frame, guess, c, mesh)
+
+    return align
+
+
+@partial(jax.jit, static_argnames=("capacity", "leaf", "fine_cfg", "coarse_cfg", "mesh"))
 def _track_step(
     fine_map,
     coarse_map,  # may equal fine_map when coarse_cfg is None
@@ -104,6 +139,7 @@ def _track_step(
     leaf: float,
     fine_cfg: NDTConfig,
     coarse_cfg: Optional[NDTConfig],
+    mesh=None,
 ):
     """One frame's whole tracking work as a SINGLE device program:
     preprocess (finite mask + voxel downsample) -> optional coarse align ->
@@ -111,12 +147,14 @@ def _track_step(
     transports where every dispatch costs ~5 ms of launch latency; it also
     lets XLA overlap the downsample scatter with the first derivative
     gather. Returns the downsampled frame (device-resident, reused by the
-    keyframe path) alongside the result."""
+    keyframe path) alongside the result. With `mesh`, the per-point
+    derivative reductions are sharded over the mesh (SURVEY §2.3)."""
+    align = _aligner(mesh)
     frame = _preprocess.__wrapped__(points, mask, capacity, leaf)
     guess = predict
     if coarse_cfg is not None:
-        guess = ndt_align(coarse_map, frame, guess, coarse_cfg).pose
-    r = ndt_align(fine_map, frame, guess, fine_cfg)
+        guess = align(coarse_map, frame, guess, coarse_cfg).pose
+    r = align(fine_map, frame, guess, fine_cfg)
     return frame.points, frame.mask, r.pose, r.unresolved
 
 
@@ -279,7 +317,8 @@ def _incremental_map_update(
 @flax.struct.dataclass
 class FrontEndDriveState:
     """Device-resident front-end state for the scan-chained drive: tracking
-    maps, keyframe window, and motion-model poses as one pytree."""
+    maps, keyframe window, bbox descriptor memory, and motion-model poses as
+    one pytree."""
 
     fine_sums: object
     coarse_sums: object
@@ -293,22 +332,22 @@ class FrontEndDriveState:
     last_pose: jax.Array  # [4, 4]
     predict_pose: jax.Array  # [4, 4]
     last_kf_pose: jax.Array  # [4, 4]
+    # static-weighting bbox memory (the FrontEnd host attributes, device-side)
+    map_bbox_centers: jax.Array  # [M, 3] world-frame centres
+    map_bbox_descs: jax.Array  # [M, 7]
+    map_bbox_valid: jax.Array  # [M] bool
+    map_bbox_cursor: jax.Array  # [] int32
 
 
 def init_front_end_drive(cfg: FrontEndConfig, init_pose=None) -> FrontEndDriveState:
     k, p = cfg.local_frame_num, cfg.keyframe_capacity
     fine_cfg = dataclasses.replace(cfg.ndt, dense_stats=False)
-    coarse_cfg = dataclasses.replace(
-        cfg.ndt,
-        resolution=cfg.ndt.resolution * 2.0,
-        grid_dims=tuple(d // 2 for d in cfg.ndt.grid_dims),
-        dense_stats=False,
-        fused_window=min(cfg.ndt.fused_window, 1024),
-    )
+    coarse_cfg = coarse_tracking_cfg(cfg.ndt)
     zero3 = jnp.zeros(3, jnp.float32)
     fine_sums = empty_ndt_sums(zero3, fine_cfg)
     coarse_sums = empty_ndt_sums(zero3, coarse_cfg)
     eye = jnp.eye(4, dtype=jnp.float32) if init_pose is None else jnp.asarray(init_pose, jnp.float32)
+    m = cfg.max_map_bboxes
     return FrontEndDriveState(
         fine_sums=fine_sums,
         coarse_sums=coarse_sums,
@@ -322,30 +361,47 @@ def init_front_end_drive(cfg: FrontEndConfig, init_pose=None) -> FrontEndDriveSt
         last_pose=eye,
         predict_pose=eye,
         last_kf_pose=eye,
+        map_bbox_centers=jnp.zeros((m, 3), jnp.float32),
+        map_bbox_descs=jnp.zeros((m, 7), jnp.float32),
+        map_bbox_valid=jnp.zeros(m, bool),
+        map_bbox_cursor=jnp.int32(0),
     )
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def front_end_drive(state: FrontEndDriveState, points_seq, mask_seq, cfg: FrontEndConfig):
+@partial(jax.jit, static_argnames=("cfg", "mesh"))
+def front_end_drive(
+    state: FrontEndDriveState,
+    points_seq,
+    mask_seq,
+    cfg: FrontEndConfig,
+    bboxes_seq=None,  # [T, B, 8] sensor-frame detector boxes (CloudBbox layout)
+    bbox_valid_seq=None,  # [T, B] bool (row is a real detection)
+    mesh=None,  # jax.sharding.Mesh: shard the per-point NDT reductions
+):
     """Whole-sequence scan-to-map odometry as ONE device program.
 
     Chains frames through `lax.scan`: preprocess -> coarse-to-fine align ->
-    motion-model update -> cond-gated keyframe insertion + incremental map
-    maintenance, all device-resident. The frame-to-frame dependency is
-    preserved (honest sequential semantics, front_end.cpp:238-240); what the
-    chaining removes is the per-frame host round trip and the host-side
-    keyframe branch. Static weighting (bboxes) is not applied in drive mode
-    (weights are 1) — use FrontEnd.update for the bbox-weighted path.
+    motion-model update -> cond-gated keyframe insertion + static-point
+    weighting + incremental map maintenance, all device-resident. The
+    frame-to-frame dependency is preserved (honest sequential semantics,
+    front_end.cpp:238-240); what the chaining removes is the per-frame host
+    round trip and the host-side keyframe branch.
+
+    When `bboxes_seq` is given, new keyframes run the full static-weighting
+    stage inside the keyframe branch (front_end.cpp:250-327 semantics,
+    matching FrontEnd._add_keyframe): descriptor matching against the
+    device-resident bbox memory, w = base^d per-point weights folded into
+    the incremental map's voxel statistics, and the memory ring updated with
+    this frame's valid boxes.
+
+    With `mesh`, every frame's derivative reductions are point-sharded
+    over the mesh with psum'd partials (parallel/sharded_ndt.py) while map
+    maintenance runs replicated — multi-chip execution of the production
+    pipeline itself (SURVEY §2.3), trajectory-equal to single-device.
 
     Returns (state, poses [T, 4, 4], is_kf [T] bool, unresolved [T])."""
     fine_cfg = dataclasses.replace(cfg.ndt, dense_stats=False)
-    coarse_cfg = dataclasses.replace(
-        cfg.ndt,
-        resolution=cfg.ndt.resolution * 2.0,
-        grid_dims=tuple(d // 2 for d in cfg.ndt.grid_dims),
-        dense_stats=False,
-        fused_window=min(cfg.ndt.fused_window, 1024),
-    )
+    coarse_cfg = coarse_tracking_cfg(cfg.ndt)
     res_f, res_c = fine_cfg.resolution, coarse_cfg.resolution
     dims_f = jnp.asarray(fine_cfg.grid_dims, jnp.float32)
     dims_c = jnp.asarray(coarse_cfg.grid_dims, jnp.float32)
@@ -353,14 +409,22 @@ def front_end_drive(state: FrontEndDriveState, points_seq, mask_seq, cfg: FrontE
     def lattice_origin(center, res, dims):
         return jnp.floor((center - 0.5 * dims * res) / res) * res
 
+    use_bboxes = bboxes_seq is not None
+    if use_bboxes and bbox_valid_seq is None:
+        bbox_valid_seq = jnp.ones(bboxes_seq.shape[:2], bool)
+
     def one(st: FrontEndDriveState, inp):
-        points, mask = inp
+        if use_bboxes:
+            points, mask, boxes, boxes_ok = inp
+        else:
+            points, mask = inp
         frame = _preprocess.__wrapped__(points, mask, cfg.frame_capacity, cfg.frame_leaf)
 
+        align = _aligner(mesh)
         guess = st.predict_pose
         if cfg.coarse_to_fine:
-            guess = ndt_align(st.coarse_map, frame, guess, coarse_cfg).pose
-        r = ndt_align(st.fine_map, frame, guess, fine_cfg)
+            guess = align(st.coarse_map, frame, guess, coarse_cfg).pose
+        r = align(st.fine_map, frame, guess, fine_cfg)
         first = st.n_keyframes == 0
         pose = jnp.where(first, st.predict_pose, r.pose)
 
@@ -372,6 +436,37 @@ def front_end_drive(state: FrontEndDriveState, points_seq, mask_seq, cfg: FrontE
         def add_kf(st: FrontEndDriveState) -> FrontEndDriveState:
             kf = voxel_downsample(frame, cfg.frame_leaf, out_capacity=cfg.keyframe_capacity)
             weights = jnp.ones(cfg.keyframe_capacity, jnp.float32)
+            if use_bboxes:
+                boxes_valid = boxes_ok & (boxes[:, 7] > cfg.bbox_score_thresh)
+                w, desc_cur = _bbox_weights.__wrapped__(
+                    kf.points,
+                    boxes,
+                    boxes_valid,
+                    pose,
+                    st.map_bbox_centers,
+                    st.map_bbox_descs,
+                    st.map_bbox_valid,
+                    base=cfg.bbox_weight_base,
+                    radius=cfg.bbox_match_radius,
+                )
+                # weighting applies from the FIRST keyframe on (no-match
+                # boxes get w = 0) — matching FrontEnd._add_keyframe and
+                # front_end.cpp:243-334
+                weights = jnp.where(kf.mask, w, 1.0)
+                upd = boxes_valid
+                m = cfg.max_map_bboxes
+                # ring-scatter this frame's valid boxes into the memory;
+                # invalid rows aim at index m and are dropped
+                offs = jnp.cumsum(upd.astype(jnp.int32)) - 1
+                slot_b = jnp.where(upd, (st.map_bbox_cursor + offs) % m, m)
+                st = st.replace(
+                    map_bbox_centers=st.map_bbox_centers.at[slot_b].set(
+                        desc_cur[:, :3], mode="drop"
+                    ),
+                    map_bbox_descs=st.map_bbox_descs.at[slot_b].set(desc_cur, mode="drop"),
+                    map_bbox_valid=st.map_bbox_valid.at[slot_b].set(True, mode="drop"),
+                    map_bbox_cursor=st.map_bbox_cursor + jnp.sum(upd.astype(jnp.int32)),
+                )
             slot = st.cursor % cfg.local_frame_num
             old_world = st.kf_world[slot]
             old_mask = st.kf_masks[slot] & (st.cursor >= cfg.local_frame_num)
@@ -406,15 +501,24 @@ def front_end_drive(state: FrontEndDriveState, points_seq, mask_seq, cfg: FrontE
         st = jax.lax.cond(is_kf, add_kf, lambda s: s, st)
         return st, (pose, is_kf, jnp.where(first, 0.0, r.unresolved))
 
-    state, (poses, kfs, unres) = jax.lax.scan(one, state, (points_seq, mask_seq))
+    xs = (
+        (points_seq, mask_seq, bboxes_seq, bbox_valid_seq)
+        if use_bboxes
+        else (points_seq, mask_seq)
+    )
+    state, (poses, kfs, unres) = jax.lax.scan(one, state, xs)
     return state, poses, kfs, unres
 
 
 class FrontEnd:
     """Stateful host wrapper (the reference's FrontEnd::Update API)."""
 
-    def __init__(self, config: FrontEndConfig = FrontEndConfig()):
+    def __init__(self, config: FrontEndConfig = FrontEndConfig(), mesh=None):
         self.cfg = config
+        # optional jax.sharding.Mesh: point-shard the per-frame NDT
+        # reductions (psum'd partials) — the CLI exposes this as
+        # `mapping --mesh-devices N`
+        self.mesh = mesh
         k = config.local_frame_num
         p = config.keyframe_capacity
         self.kf_points = jnp.zeros((k, p, 3), jnp.float32)
@@ -445,16 +549,7 @@ class FrontEnd:
         self.kf_world = jnp.zeros((k, p, 3), jnp.float32)
 
     def _coarse_cfg(self) -> NDTConfig:
-        c = self.cfg.ndt
-        return dataclasses.replace(
-            c,
-            resolution=c.resolution * 2.0,
-            grid_dims=(c.grid_dims[0] // 2, c.grid_dims[1] // 2, c.grid_dims[2] // 2),
-            max_iter=max(5, c.max_iter // 3),
-            # the coarse grid holds ~1/8 the occupied voxels: a narrower key
-            # window is always sufficient (unresolved guard covers the rest)
-            fused_window=min(c.fused_window, 1024),
-        )
+        return coarse_tracking_cfg(self.cfg.ndt)
 
     # -- reference API ------------------------------------------------------
     def set_init_pose(self, pose) -> None:
@@ -497,7 +592,7 @@ class FrontEnd:
             self.last_pose = pose.copy()
             self.predict_pose = pose.copy()
             self.last_key_frame_pose = pose.copy()
-            self._add_keyframe(frame, pose, bboxes, first=True)
+            self._add_keyframe(frame, pose, bboxes)
             return pose, True
 
         # preprocess + coarse + fine as ONE dispatch (see _track_step)
@@ -514,6 +609,7 @@ class FrontEnd:
             cfg.frame_leaf,
             cfg.ndt,
             coarse_cfg,
+            mesh=self.mesh,
         )
         frame = PointCloud(points=f_pts, mask=f_mask)
         # one batched device->host transfer: the pose is needed on the host
@@ -541,16 +637,20 @@ class FrontEnd:
         l1 = np.abs(pose[:3, 3] - self.last_key_frame_pose[:3, 3]).sum()
         is_kf = l1 > cfg.key_frame_distance
         if is_kf:
-            self._add_keyframe(frame, pose, bboxes, first=False)
+            self._add_keyframe(frame, pose, bboxes)
             self.last_key_frame_pose = pose.copy()
         return pose, bool(is_kf)
 
     # -- internals ----------------------------------------------------------
-    def _add_keyframe(self, frame: PointCloud, pose, bboxes, first: bool):
+    def _add_keyframe(self, frame: PointCloud, pose, bboxes):
         cfg = self.cfg
         kf = voxel_downsample(frame, cfg.frame_leaf, out_capacity=cfg.keyframe_capacity)
 
-        if first or bboxes is None or len(bboxes) == 0:
+        # weighting runs on EVERY new keyframe including the first
+        # (front_end.cpp:243-334): with an empty bbox memory no box matches,
+        # so first-sight detections get w = 0 — the conservative reference
+        # behaviour that keeps never-yet-confirmed objects out of the map
+        if bboxes is None or len(bboxes) == 0:
             weights = jnp.ones(cfg.keyframe_capacity, jnp.float32)
             desc_cur = None
             boxes_valid = None
@@ -610,7 +710,7 @@ class FrontEnd:
             # skip the dense mean/icov/valid views — their [V, 3, 3]
             # scatter-back dominates per-keyframe finalize cost (ndt.py)
             fine_cfg = dataclasses.replace(cfg.ndt, dense_stats=False)
-            coarse_cfg = dataclasses.replace(self._coarse_map_cfg(), dense_stats=False)
+            coarse_cfg = coarse_tracking_cfg(cfg.ndt)
             center = np.asarray(pose, np.float32)[:3, 3]
             # fine origin on the COARSE lattice: the coarse grid is derived
             # from the fine sums by 2x2x2 block reduction (coarsen_ndt_sums)
@@ -709,11 +809,3 @@ class FrontEnd:
         dims = np.asarray(ndt_cfg.grid_dims, np.float32)
         return (np.floor((center - 0.5 * dims * res) / snap) * snap).astype(np.float32)
 
-    def _coarse_map_cfg(self) -> NDTConfig:
-        c = self.cfg.ndt
-        return dataclasses.replace(
-            c,
-            resolution=c.resolution * 2.0,
-            grid_dims=(c.grid_dims[0] // 2, c.grid_dims[1] // 2, c.grid_dims[2] // 2),
-            fused_window=min(c.fused_window, 1024),
-        )

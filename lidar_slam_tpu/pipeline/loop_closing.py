@@ -164,7 +164,11 @@ class LoopClosing:
         d = np.abs(hist - cur_p).sum(axis=1)
         best = int(np.argmin(d))
         if d[best] > cfg.detect_area:
-            # candidate too far: back off (reference grows the skip window)
+            # candidate too far: back off (reference grows the skip window
+            # AND restarts the counter, loop_closing.cpp:219 — without the
+            # reset the backoff would retry after only skip_num - old_cnt
+            # keyframes)
+            self._skip_cnt = 0
             self._skip_num = max(cfg.loop_step, int(d[best] / 2.0 / self.cfg.detect_area * cfg.loop_step))
             return -1, 0.0
         return best, 0.0
@@ -178,9 +182,15 @@ class LoopClosing:
         cfg = self.cfg
         idx, dist, yaw = self.sc.detect()
         if idx < cfg.extend_frame_num:
+            # a retrieval happened: restart the counter (loop_closing.cpp:219)
+            self._skip_cnt = 0
             return -1, 0.0
         d = float(np.linalg.norm(self.key_poses[cur][:3, 3] - self.key_poses[idx][:3, 3]))
         if d > cfg.detect_area:
+            # far candidate: reference resets the counter before applying the
+            # detect_area/2 backoff (loop_closing.cpp:219) — both together
+            # make the backoff effective
+            self._skip_cnt = 0
             self._skip_num = max(int(cfg.detect_area / 2.0), cfg.loop_step)
             return -1, 0.0
         return idx, yaw

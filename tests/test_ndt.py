@@ -316,3 +316,28 @@ class TestPointNNFitness:
         T[:3, 3] = [500.0, 0.0, 0.0]
         fit_far = float(point_nn_fitness_score(tgt, src, jnp.asarray(T)))
         assert fit_far == pytest.approx(4.0)
+
+    def test_dense_cell_matches_brute_force(self):
+        """Round-4 advisor finding: a 0.3 m-leaf submap surface patch puts
+        50+ points inside one 2 m bucket cell; bucket_k must not truncate
+        the true NN away. Three stacked 0.3 m-pitch surfaces (~130 pts per
+        2 m cell) vs exact brute-force NN."""
+        from lidar_slam_tpu.models.registration import point_nn_fitness_score
+
+        rng = np.random.default_rng(2)
+        xy = np.stack(
+            np.meshgrid(np.arange(-6, 6, 0.3), np.arange(-6, 6, 0.3), indexing="ij"),
+            axis=-1,
+        ).reshape(-1, 2)
+        planes = [
+            np.concatenate([xy, np.full((len(xy), 1), z)], axis=1) for z in (0.0, 0.35, 0.7)
+        ]
+        tgt_pts = np.concatenate(planes).astype(np.float32)
+        src_pts = (tgt_pts[rng.choice(len(tgt_pts), 512, replace=False)]
+                   + rng.normal(0, 0.05, (512, 3))).astype(np.float32)
+        tgt = PointCloud.from_points(tgt_pts)
+        src = PointCloud.from_points(src_pts)
+        fit = float(point_nn_fitness_score(tgt, src, jnp.eye(4)))
+        d2 = ((src_pts[:, None, :] - tgt_pts[None, :, :]) ** 2).sum(-1).min(axis=1)
+        brute = float(np.minimum(d2, 4.0).mean())
+        assert fit == pytest.approx(brute, rel=1e-4, abs=1e-6)
