@@ -325,7 +325,9 @@ def front_end_leg(workload):
         ndt=NDTConfig(
             resolution=1.0, grid_dims=(256, 256, 64), point_chunk=8192,
             max_iter=30, stencil="direct7", gather="auto", max_compact_voxels=65536,
-            fused_window=1024,  # A/B'd on-TPU; exactness asserted below
+            fused_window=512,  # A/B'd on-TPU (r5: per-group windows make
+            # 512 exact even on the denser-than-bench stress world);
+            # exactness asserted below
         ),
     )
     world = SyntheticWorld.corridor(length=120.0, width=18.0, density=40.0, seed=0)
@@ -509,6 +511,143 @@ def mfu_roofline(cfg, fps, iters_mean, n_slots):
           hbm_mb_per_frame=round(evals * hbm_bytes / 1e6, 2))
 
 
+def _loop_graph(n, radius, seed=0):
+    """Noisy circular odometry chain + one loop edge at capacity n."""
+    import jax.numpy as jnp
+
+    from lidar_slam_tpu.geom import se3_exp
+    from lidar_slam_tpu.models.graph_optimizer import PoseGraphBuilder
+
+    rng = np.random.default_rng(seed)
+    b = PoseGraphBuilder(max_nodes=n, max_edges=n + 8, max_priors=8)
+    true_p = []
+    for i in range(n):
+        th = 2 * np.pi * i / n
+        Ti = np.eye(4, dtype=np.float32)
+        Ti[:3, :3] = np.array(
+            [[np.cos(th), -np.sin(th), 0], [np.sin(th), np.cos(th), 0], [0, 0, 1]], np.float32)
+        Ti[:3, 3] = [radius * np.cos(th), radius * np.sin(th), 0.0]
+        true_p.append(Ti)
+    est = [true_p[0]]
+    b.add_se3_node(true_p[0], fixed=True)
+    for i in range(1, n):
+        Z = np.linalg.inv(true_p[i - 1]) @ true_p[i]
+        noise = rng.normal(0, 0.02, 6).astype(np.float32)
+        Zn = np.asarray(se3_exp(jnp.asarray(noise))) @ Z
+        est.append((est[-1] @ Zn).astype(np.float32))
+        b.add_se3_node(est[-1])
+        b.add_se3_edge(i - 1, i, Zn, noise=[0.5, 0.5, 0.5, 0.01, 0.01, 0.01])
+    b.add_se3_edge(n - 1, 0, np.linalg.inv(true_p[n - 1]) @ true_p[0],
+                   noise=[0.3, 0.3, 0.3, 0.01, 0.01, 0.01])
+    return b
+
+
+def pose_graph_solver_sweep():
+    """On-device solver scaling study (round-4 verdict item 7): dense MXU
+    Cholesky vs matrix-free PCG at 512 / 2048 / 8192 nodes, plus the Schur
+    two-level program on a 1-device mesh (its multi-block form is exercised
+    at parity on the CPU mesh; single-chip it degenerates to one interior
+    block — the data shows why Schur is a DISTRIBUTED-memory play, not a
+    single-chip one). Emits pose_graph_schur_ms_per_iter and the per-size
+    dense/pcg ms/iter that justify GraphOptimizerConfig.dense_limit."""
+    import jax
+    from lidar_slam_tpu.models.graph_optimizer import (
+        GraphOptimizerConfig,
+        optimize_pose_graph,
+    )
+
+    def time_solve(graph, cfg):
+        g_opt, stats = optimize_pose_graph(graph, cfg)
+        jax.device_get(g_opt.poses)  # compile
+        t0 = time.time()
+        g_opt, stats = optimize_pose_graph(graph, cfg)
+        stats = jax.device_get(stats)
+        dt = time.time() - t0
+        it = max(int(stats["iterations"]), 1)
+        assert float(stats["chi2_after"]) < float(stats["chi2_before"])
+        return dt * 1000.0 / it, it
+
+    results = {}
+    for n, radius in ((512, 80.0), (2048, 120.0), (8192, 200.0)):
+        b = _loop_graph(n, radius, seed=n)
+        graph = b.to_graph()
+        pcg_ms, pcg_it = time_solve(graph, GraphOptimizerConfig(max_iterations=20, solver="pcg"))
+        results[(n, "pcg")] = pcg_ms
+        line = f"[solver_sweep] n={n}: pcg {pcg_ms:.2f} ms/iter ({pcg_it} iters)"
+        if n <= 1024:
+            # dense Cholesky: [6n, 6n] normal matrix — pads out beyond ~2k
+            dense_ms, dense_it = time_solve(
+                graph, GraphOptimizerConfig(max_iterations=20, solver="dense")
+            )
+            results[(n, "dense")] = dense_ms
+            line += f", dense {dense_ms:.2f} ms/iter ({dense_it} iters)"
+        _log(line)
+
+    # the Schur PROGRAM on the device (1-block degenerate form at 512 nodes;
+    # multi-block parity lives on the CPU mesh, tests/test_parallel.py)
+    try:
+        from lidar_slam_tpu.models.graph_optimizer import GraphOptimizerConfig as GC
+        from lidar_slam_tpu.parallel import make_mesh, optimize_pose_graph_schur, schur_prepare
+
+        b = _loop_graph(512, 80.0, seed=7)
+        sg = schur_prepare(b.to_graph(), n_devices=1, sep_cap=16)
+        mesh1 = make_mesh(1)
+        cfgs = GC(max_iterations=20)
+        g_s, st_s = optimize_pose_graph_schur(sg, cfgs, mesh1)
+        jax.device_get(g_s.poses)
+        t0 = time.time()
+        g_s, st_s = optimize_pose_graph_schur(sg, cfgs, mesh1)
+        st_s = jax.device_get(st_s)
+        dt = time.time() - t0
+        it_s = max(int(st_s["iterations"]), 1)
+        schur_ms = dt * 1000.0 / it_s
+        _log(f"[solver_sweep] schur(1 block) n=512: {schur_ms:.2f} ms/iter ({it_s} iters)")
+        _emit("pose_graph_schur_ms_per_iter", schur_ms, "ms/iter", nodes=512,
+              note="single-chip 1-block form; multi-block parity on CPU mesh")
+    except Exception as e:
+        _log(f"[solver_sweep] schur leg FAILED: {e}")
+
+    _emit("pose_graph_8192_ms_per_iter", results[(8192, "pcg")], "ms/iter", solver="pcg")
+    return results
+
+
+def sc_growth_leg():
+    """Scan Context retrieval cost vs stored-descriptor count (round-4
+    verdict item 8; scan_context.cpp:251-348 scaling intent). KITTI-0027
+    scale is ~800 keyframes; a city-scale map is thousands."""
+    import jax
+    import jax.numpy as jnp
+
+    from lidar_slam_tpu.models.scan_context import (
+        ScanContextConfig,
+        detect_loop,
+        ring_key,
+    )
+
+    sccfg = ScanContextConfig()
+    rng = np.random.default_rng(0)
+    out = {}
+    for hist in (200, 800, 3200):
+        descs = jnp.asarray(
+            rng.uniform(0, 8, (hist, sccfg.num_rings, sccfg.num_sectors)).astype(np.float32)
+        )
+        rks = jax.vmap(ring_key)(descs)
+        valid = jnp.arange(hist) < hist - 50
+        f = jax.jit(lambda q, qr, d, r, m: detect_loop(q, qr, d, r, m, sccfg))
+        o = f(descs[-1], rks[-1], descs, rks, valid)
+        jax.device_get(o[0])
+        t0 = time.time()
+        for _ in range(10):
+            o = f(descs[-1], rks[-1], descs, rks, valid)
+        jax.device_get(o[0])
+        out[hist] = (time.time() - t0) / 10 * 1000.0
+    _log(f"[sc_growth] detect ms at 200/800/3200 descriptors: "
+         f"{out[200]:.1f} / {out[800]:.1f} / {out[3200]:.1f}")
+    _emit("sc_detect_ms_800", out[800], "ms",
+          ms_200=round(out[200], 2), ms_3200=round(out[3200], 2))
+    return out
+
+
 def matching_leg():
     """Steady-state map-matching localization (Matching::Update,
     matching.cpp:185-265): ground-seg + voxel filter + coarse-to-fine NDT
@@ -570,6 +709,39 @@ def matching_leg():
     _log(f"[matching] drive {dtd/13*1000:.1f} ms/frame (scan-chained), "
          f"err mean {np.mean(errs_d):.3f} m")
     _emit("matching_drive_fps", 13 / dtd, "frames/s", vs_baseline=13 / dtd / 10.0)
+
+    # OnlyPosition 270-yaw initialization (getInitialYawAngle,
+    # matching.cpp:267-308 — SURVEY §3.4 HOT; init-time only in production)
+    from lidar_slam_tpu.ops.pointcloud import PointCloud as _PC, voxel_downsample as _vd
+
+    pj, mj = loaded[3]
+    m._pending_scan = _vd(
+        _PC(points=pj, mask=mj), m.cfg.frame_leaf, out_capacity=m.cfg.frame_capacity
+    )
+    pos3 = np.asarray(traj[3][:3, 3], np.float32)
+    m._initial_yaw(pos3)  # compile
+    t0 = time.time()
+    for _ in range(5):
+        yaw0 = m._initial_yaw(pos3)  # float() inside forces the fence
+    init_ms = (time.time() - t0) / 5 * 1000.0
+    _log(f"[matching] yaw init (270-sample grid search): {init_ms:.1f} ms, yaw {yaw0:.3f}")
+    _emit("matching_init_ms", init_ms, "ms")
+
+    # ResetLocalMap refresh stall (matching.cpp:254-262): host box-crop of
+    # the global map + voxel filter + fine/coarse NDT map rebuild. Amortized
+    # in production over box_size/2 - margin of travel per refresh.
+    import jax as _jax
+
+    t0 = time.time()
+    for _ in range(3):
+        m.reset_local_map(pos3)
+        _jax.device_get(m.ndt_map.keys[0])
+    refresh_ms = (time.time() - t0) / 3 * 1000.0
+    travel = m.cfg.box_size / 2.0 - m.cfg.refresh_margin
+    _log(f"[matching] local-map refresh: {refresh_ms:.1f} ms "
+         f"(every {travel:.0f} m of travel -> {refresh_ms/max(travel,1e-9):.2f} ms/frame at 1 m/frame)")
+    _emit("matching_refresh_ms", refresh_ms, "ms",
+          amortized_ms_per_frame=round(refresh_ms / max(travel, 1e-9), 2))
     return 13 / dt
 
 
@@ -683,7 +855,7 @@ def main():
         # key window sized by on-TPU A/B (W=1024: -20% eval time, unresolved
         # stays 0 at this operating point; the parity gate + unresolved
         # asserts below fail loudly if a denser workload ever needs more)
-        fused_window=int(os.environ.get("NDT_FUSED_WINDOW", "1024")),
+        fused_window=int(os.environ.get("NDT_FUSED_WINDOW", "512")),
     )
     workload = build_workload()
 
@@ -701,6 +873,14 @@ def main():
     # reference laptop log: 3.66 ms/iter at the same node/edge count
     _emit("pose_graph_ms_per_iter", ms_per_iter, "ms/iter",
           vs_baseline=3.66 / ms_per_iter, iterations=g_iters)
+    try:
+        pose_graph_solver_sweep()
+    except Exception as e:
+        _log(f"[solver_sweep] FAILED: {e}")
+    try:
+        sc_growth_leg()
+    except Exception as e:
+        _log(f"[sc_growth] FAILED: {e}")
 
     try:
         aloam_fps = aloam_leg()

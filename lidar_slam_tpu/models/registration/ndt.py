@@ -897,31 +897,49 @@ def _ndt_derivatives_fused(
     # isfinite guard); otherwise their NaN coords survive 0 * NaN in the
     # kernel's masked accumulation
     mask = mask & jnp.all(jnp.isfinite(points), axis=-1)
-    pts = jnp.where(mask[:, None], points, 0.0)
-    xp = pts @ R.T + t
-    cell = jnp.floor((xp - ndt_map.origin) / res).astype(jnp.int32)  # [N, 3]
-    # masked points go far out of bounds: no contribution, no unresolved hits
-    cell = jnp.where(mask[:, None], cell, -(2**20))
-
-    jrot = jnp.einsum("arj,cj->cra", jang, pts)  # [N, 3(r), 3(a)]
-    hrot = jnp.einsum("abrk,ck->cabr", hang, pts)  # [N, 3(a), 3(b), 3(r)]
-    pairs = jnp.stack(
-        [hrot[:, 0, 0], hrot[:, 0, 1], hrot[:, 0, 2], hrot[:, 1, 1], hrot[:, 1, 2], hrot[:, 2, 2]],
-        axis=1,
-    )  # [N, 6, 3]
-
-    pw = weights * mask.astype(jnp.float32)
-    rows = jnp.concatenate(
-        [xp, pw[:, None], jrot.reshape(-1, 9), pairs.reshape(-1, 18)], axis=-1
-    )  # [N, 31]
-    assert rows.shape[-1] == _NROWS
-
     tile = config.fused_tile
     n = points.shape[0]
     pad = (-n) % tile
-    cell_p = jnp.pad(cell, ((0, pad), (0, 0)), constant_values=-(2**20))
-    cell_x8 = pack_rows_x8(cell_p.T, tile)  # [3*8, N'/8] sublane layout
-    rows_t = jnp.pad(rows, ((0, pad), (0, 0))).T  # [31, N']
+
+    # Build everything as stacks of [N] lane-major vectors — measured 44% of
+    # the whole (chained) evaluation used to go into [N, 31]-minor
+    # intermediates, their transposes and the einsums' layout churn. Per-row
+    # formulas are 3-term fmas with per-POSE scalar coefficients; the stack
+    # lands directly in the kernel's [rows, N] orientation.
+    px = jnp.where(mask, points[:, 0], 0.0)
+    py = jnp.where(mask, points[:, 1], 0.0)
+    pz = jnp.where(mask, points[:, 2], 0.0)
+    xp0 = R[0, 0] * px + R[0, 1] * py + R[0, 2] * pz + t[0]
+    xp1 = R[1, 0] * px + R[1, 1] * py + R[1, 2] * pz + t[1]
+    xp2 = R[2, 0] * px + R[2, 1] * py + R[2, 2] * pz + t[2]
+    pw = weights * mask.astype(jnp.float32)
+
+    rows_list = [xp0, xp1, xp2, pw]
+    # jrot[r, a] = sum_j jang[a, r, j] * p_j (rows _JR + 3r + a)
+    for r in range(3):
+        for a in range(3):
+            rows_list.append(jang[a, r, 0] * px + jang[a, r, 1] * py + jang[a, r, 2] * pz)
+    # hrot pairs (a, b) in ((0,0),(0,1),(0,2),(1,1),(1,2),(2,2)), component r
+    for (a, b) in ((0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)):
+        for r in range(3):
+            rows_list.append(
+                hang[a, b, r, 0] * px + hang[a, b, r, 1] * py + hang[a, b, r, 2] * pz
+            )
+    rows_t = jnp.stack(rows_list, axis=0)  # [31, N] lane-major
+    assert rows_t.shape[0] == _NROWS
+
+    inv_res = jnp.float32(1.0) / res
+    cell_rows = []
+    for k, (xpk, ok) in enumerate(((xp0, 0), (xp1, 1), (xp2, 2))):
+        ck = jnp.floor((xpk - ndt_map.origin[ok]) * inv_res).astype(jnp.int32)
+        # masked points go far out of bounds: no contribution, no unresolved
+        cell_rows.append(jnp.where(mask, ck, -(2**20)))
+    cell_t = jnp.stack(cell_rows, axis=0)  # [3, N]
+
+    if pad:
+        rows_t = jnp.pad(rows_t, ((0, 0), (0, pad)))
+        cell_t = jnp.pad(cell_t, ((0, 0), (0, pad)), constant_values=-(2**20))
+    cell_x8 = pack_rows_x8(cell_t, tile)  # [3*8, N'/8] sublane layout
     rows_x8 = pack_rows_x8(rows_t, tile)  # [31*8, N'/8] sublane layout
 
     c0 = ndt_map.keys.shape[0]
@@ -939,8 +957,10 @@ def _ndt_derivatives_fused(
     # (each component moves <= 1 for a point with any in-bounds candidate,
     # and offsets are +-1), giving |candidate - clamped vid| <= 2 strides.
     span = 2 * (dims[1] * dims[2] + dims[2] + 1)
-    cell_cl = jnp.clip(cell_p, 0, jnp.asarray(dims, jnp.int32) - 1)
-    vid0 = (cell_cl[:, 0] * dims[1] + cell_cl[:, 1]) * dims[2] + cell_cl[:, 2]
+    dcl = jnp.asarray(dims, jnp.int32) - 1
+    vid0 = (
+        jnp.clip(cell_t[0], 0, dcl[0]) * dims[1] + jnp.clip(cell_t[1], 0, dcl[1])
+    ) * dims[2] + jnp.clip(cell_t[2], 0, dcl[2])
     vid0 = jnp.where(jnp.pad(mask, (0, pad)), vid0, KEY_SENTINEL)
     vmin = jnp.min(vid0.reshape(-1, tile // 8), axis=1) - span  # [G * 8]
     lo_key = jnp.searchsorted(keys, vmin, side="left").astype(jnp.int32)

@@ -158,6 +158,63 @@ def _track_step(
     return frame.points, frame.mask, r.pose, r.unresolved
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "capacity", "leaf", "fine_cfg", "coarse_cfg", "upd_fine_cfg", "upd_coarse_cfg", "mesh"
+    ),
+)
+def _track_and_update_step(
+    fine_map,
+    coarse_map,
+    points,
+    mask,
+    predict,
+    # deferred map-maintenance inputs (the PREVIOUS frame's keyframe)
+    fine_sums,
+    coarse_sums,
+    old_world,
+    old_mask,
+    old_weights,
+    kf_points,
+    kf_mask,
+    kf_weights,
+    kf_pose,
+    origin_f,
+    capacity: int,
+    leaf: float,
+    fine_cfg: NDTConfig,
+    coarse_cfg: Optional[NDTConfig],
+    upd_fine_cfg: NDTConfig,
+    upd_coarse_cfg: NDTConfig,
+    mesh=None,
+):
+    """Track THIS frame against the (one-frame-stale) maps while building the
+    previous keyframe's updated maps — both independent subgraphs of ONE
+    program, so XLA interleaves the memory-bound scatter/finalize with the
+    compute-bound alignment instead of serializing a ~40 ms map stall onto
+    the tracking critical path (round-4 verdict item 5; the reference hides
+    the same work behind its process graph, launch/mapping.launch:1-9)."""
+    align = _aligner(mesh)
+    frame = _preprocess.__wrapped__(points, mask, capacity, leaf)
+    guess = predict
+    if coarse_cfg is not None:
+        guess = align(coarse_map, frame, guess, coarse_cfg).pose
+    r = align(fine_map, frame, guess, fine_cfg)
+
+    new_fine_sums, new_coarse_sums, world, new_fine_map, new_coarse_map = (
+        _incremental_map_update.__wrapped__(
+            fine_sums, coarse_sums, old_world, old_mask, old_weights,
+            kf_points, kf_mask, kf_weights, kf_pose, origin_f, origin_f,
+            upd_fine_cfg, upd_coarse_cfg,
+        )
+    )
+    return (
+        frame.points, frame.mask, r.pose, r.unresolved,
+        new_fine_sums, new_coarse_sums, world, new_fine_map, new_coarse_map,
+    )
+
+
 @partial(jax.jit, static_argnames=("base", "radius"))
 def _bbox_weights(
     points,  # [N, 3] keyframe cloud (sensor frame)
@@ -337,6 +394,19 @@ class FrontEndDriveState:
     map_bbox_descs: jax.Array  # [M, 7]
     map_bbox_valid: jax.Array  # [M] bool
     map_bbox_cursor: jax.Array  # [] int32
+    # deferred map maintenance: the newest keyframe's update inputs, applied
+    # next frame CONCURRENTLY with that frame's (stale-map) alignment —
+    # matching FrontEnd._pending_update / _track_and_update_step
+    pend_valid: jax.Array  # [] bool
+    pend_old_world: jax.Array  # [P, 3]
+    pend_old_mask: jax.Array  # [P]
+    pend_old_weights: jax.Array  # [P]
+    pend_kf_points: jax.Array  # [P, 3]
+    pend_kf_mask: jax.Array  # [P]
+    pend_kf_weights: jax.Array  # [P]
+    pend_pose: jax.Array  # [4, 4]
+    pend_origin: jax.Array  # [3]
+    pend_slot: jax.Array  # [] int32
 
 
 def init_front_end_drive(cfg: FrontEndConfig, init_pose=None) -> FrontEndDriveState:
@@ -365,6 +435,16 @@ def init_front_end_drive(cfg: FrontEndConfig, init_pose=None) -> FrontEndDriveSt
         map_bbox_descs=jnp.zeros((m, 7), jnp.float32),
         map_bbox_valid=jnp.zeros(m, bool),
         map_bbox_cursor=jnp.int32(0),
+        pend_valid=jnp.asarray(False),
+        pend_old_world=jnp.zeros((p, 3), jnp.float32),
+        pend_old_mask=jnp.zeros(p, bool),
+        pend_old_weights=jnp.ones(p, jnp.float32),
+        pend_kf_points=jnp.zeros((p, 3), jnp.float32),
+        pend_kf_mask=jnp.zeros(p, bool),
+        pend_kf_weights=jnp.ones(p, jnp.float32),
+        pend_pose=eye,
+        pend_origin=jnp.zeros(3, jnp.float32),
+        pend_slot=jnp.int32(0),
     )
 
 
@@ -428,6 +508,27 @@ def front_end_drive(
         first = st.n_keyframes == 0
         pose = jnp.where(first, st.predict_pose, r.pose)
 
+        # resolve the PREVIOUS keyframe's deferred map maintenance — an
+        # independent subgraph of this frame's (stale-map) alignment above,
+        # so XLA interleaves them (FrontEnd._track_and_update_step parity)
+        def resolve(s: FrontEndDriveState) -> FrontEndDriveState:
+            fs, cs, world, fm, cm = _incremental_map_update.__wrapped__(
+                s.fine_sums, s.coarse_sums,
+                s.pend_old_world, s.pend_old_mask, s.pend_old_weights,
+                s.pend_kf_points, s.pend_kf_mask, s.pend_kf_weights,
+                s.pend_pose, s.pend_origin, s.pend_origin, fine_cfg, coarse_cfg,
+            )
+            return s.replace(
+                fine_sums=fs,
+                coarse_sums=cs,
+                fine_map=fm,
+                coarse_map=cm,
+                kf_world=s.kf_world.at[s.pend_slot].set(world),
+                pend_valid=jnp.asarray(False),
+            )
+
+        st = jax.lax.cond(st.pend_valid, resolve, lambda s: s, st)
+
         step = jnp.linalg.solve(st.last_pose, pose)
         predict = pose @ step
         l1 = jnp.sum(jnp.abs(pose[:3, 3] - st.last_kf_pose[:3, 3]))
@@ -476,26 +577,43 @@ def front_end_drive(
             # derived coarse grid's 2x2x2 blocks match absolute coarse
             # voxels (coarsen_ndt_sums requirement)
             origin_f = jnp.floor((center - 0.5 * dims_f * res_f) / res_c) * res_c
-            fine_sums, coarse_sums, world, fine_map, coarse_map = (
-                _incremental_map_update.__wrapped__(
-                    st.fine_sums, st.coarse_sums,
-                    old_world, old_mask, old_weights,
-                    kf.points, kf.mask, weights,
-                    pose, origin_f, origin_f, fine_cfg, coarse_cfg,
-                )
-            )
-            return st.replace(
-                fine_sums=fine_sums,
-                coarse_sums=coarse_sums,
-                fine_map=fine_map,
-                coarse_map=coarse_map,
-                kf_world=st.kf_world.at[slot].set(world),
+            st = st.replace(
                 kf_masks=st.kf_masks.at[slot].set(kf.mask),
                 kf_weights=st.kf_weights.at[slot].set(weights),
                 cursor=st.cursor + 1,
                 n_keyframes=st.n_keyframes + 1,
                 last_kf_pose=pose,
             )
+
+            def update_now(s: FrontEndDriveState) -> FrontEndDriveState:
+                # FIRST keyframe: the very next frame needs a map to track
+                # against, so build it in this step (FrontEnd parity)
+                fs, cs, world, fm, cm = _incremental_map_update.__wrapped__(
+                    s.fine_sums, s.coarse_sums,
+                    old_world, old_mask, old_weights,
+                    kf.points, kf.mask, weights,
+                    pose, origin_f, origin_f, fine_cfg, coarse_cfg,
+                )
+                return s.replace(
+                    fine_sums=fs, coarse_sums=cs, fine_map=fm, coarse_map=cm,
+                    kf_world=s.kf_world.at[slot].set(world),
+                )
+
+            def stash(s: FrontEndDriveState) -> FrontEndDriveState:
+                return s.replace(
+                    pend_valid=jnp.asarray(True),
+                    pend_old_world=old_world,
+                    pend_old_mask=old_mask,
+                    pend_old_weights=old_weights,
+                    pend_kf_points=kf.points,
+                    pend_kf_mask=kf.mask,
+                    pend_kf_weights=weights,
+                    pend_pose=pose,
+                    pend_origin=origin_f,
+                    pend_slot=slot,
+                )
+
+            return jax.lax.cond(first, update_now, stash, st)
 
         st = st.replace(last_pose=pose, predict_pose=predict)
         st = jax.lax.cond(is_kf, add_kf, lambda s: s, st)
@@ -536,6 +654,8 @@ class FrontEnd:
         self.map_bbox_cursor = 0
 
         self.init_pose = np.eye(4, dtype=np.float32)
+        # deferred map maintenance (see _track_and_update_step)
+        self._pending_update = None
         self.last_pose: Optional[np.ndarray] = None
         self.predict_pose: Optional[np.ndarray] = None
         self.last_key_frame_pose: Optional[np.ndarray] = None
@@ -595,22 +715,51 @@ class FrontEnd:
             self._add_keyframe(frame, pose, bboxes)
             return pose, True
 
-        # preprocess + coarse + fine as ONE dispatch (see _track_step)
+        # preprocess + coarse + fine as ONE dispatch (see _track_step). When
+        # the previous frame created a keyframe, its deferred map maintenance
+        # rides in the SAME program (track against the one-frame-stale maps
+        # while the new maps build — XLA interleaves the independent
+        # subgraphs, taking the ~40 ms update off the critical path).
         use_coarse = cfg.coarse_to_fine and self.coarse_ndt_map is not None
         coarse_cfg = self._coarse_cfg() if use_coarse else None
         coarse_map = self.coarse_ndt_map if use_coarse else self.ndt_map
-        f_pts, f_mask, dev_pose, dev_unres = _track_step(
-            self.ndt_map,
-            coarse_map,
-            jnp.asarray(pts_fixed),
-            jnp.asarray(msk_fixed),
-            jnp.asarray(self.predict_pose),
-            cfg.frame_capacity,
-            cfg.frame_leaf,
-            cfg.ndt,
-            coarse_cfg,
-            mesh=self.mesh,
-        )
+        pend = self._pending_update
+        if pend is not None:
+            (
+                f_pts, f_mask, dev_pose, dev_unres,
+                self.fine_sums, self.coarse_sums, world,
+                new_fine_map, new_coarse_map,
+            ) = _track_and_update_step(
+                self.ndt_map,
+                coarse_map,
+                jnp.asarray(pts_fixed),
+                jnp.asarray(msk_fixed),
+                jnp.asarray(self.predict_pose),
+                *pend["args"],
+                cfg.frame_capacity,
+                cfg.frame_leaf,
+                cfg.ndt,
+                coarse_cfg,
+                pend["fine_cfg"],
+                pend["coarse_cfg"],
+                mesh=self.mesh,
+            )
+            self.kf_world = self.kf_world.at[pend["slot"]].set(world)
+            self.ndt_map, self.coarse_ndt_map = new_fine_map, new_coarse_map
+            self._pending_update = None
+        else:
+            f_pts, f_mask, dev_pose, dev_unres = _track_step(
+                self.ndt_map,
+                coarse_map,
+                jnp.asarray(pts_fixed),
+                jnp.asarray(msk_fixed),
+                jnp.asarray(self.predict_pose),
+                cfg.frame_capacity,
+                cfg.frame_leaf,
+                cfg.ndt,
+                coarse_cfg,
+                mesh=self.mesh,
+            )
         frame = PointCloud(points=f_pts, mask=f_mask)
         # one batched device->host transfer: the pose is needed on the host
         # for the keyframe gate anyway, so fetching `unresolved` in the same
@@ -672,7 +821,7 @@ class FrontEnd:
             )
             weights = jnp.where(kf.mask, weights, 1.0)
 
-        self._insert_keyframe(kf, weights, pose)
+        self._insert_keyframe(kf, weights, pose, defer=True)
 
         # bbox memory for the next keyframe's matching
         if desc_cur is not None:
@@ -686,9 +835,14 @@ class FrontEnd:
                     self.map_bbox_valid[ms] = True
                     self.map_bbox_cursor += 1
 
-    def _insert_keyframe(self, kf: PointCloud, weights, pose) -> None:
+    def _insert_keyframe(self, kf: PointCloud, weights, pose, defer: bool = False) -> None:
         """Slot insertion + local-map maintenance for one keyframe cloud
-        (shared by the live path and session restore)."""
+        (shared by the live path and session restore).
+
+        `defer=True` (live path, incremental mode, non-first keyframe)
+        stashes the map-maintenance inputs instead of dispatching them; the
+        next frame's `update()` folds the update into its tracking program
+        (see _track_and_update_step). Restore stays synchronous."""
         cfg = self.cfg
         slot = self.kf_cursor % cfg.local_frame_num
         # snapshot the outgoing slot BEFORE overwriting (incremental evict)
@@ -720,13 +874,7 @@ class FrontEnd:
             if self.fine_sums is None:
                 self.fine_sums = empty_ndt_sums(origin_f, fine_cfg)
                 self.coarse_sums = empty_ndt_sums(origin_c, coarse_cfg)
-            (
-                self.fine_sums,
-                self.coarse_sums,
-                world,
-                self.ndt_map,
-                self.coarse_ndt_map,
-            ) = _incremental_map_update(
+            upd_args = (
                 self.fine_sums,
                 self.coarse_sums,
                 old_world,
@@ -737,6 +885,24 @@ class FrontEnd:
                 weights,
                 jnp.asarray(pose, jnp.float32),
                 jnp.asarray(origin_f),
+            )
+            if defer and self.ndt_map is not None:
+                self._pending_update = {
+                    "args": upd_args,
+                    "slot": slot,
+                    "fine_cfg": fine_cfg,
+                    "coarse_cfg": coarse_cfg,
+                }
+                self.local_map_cloud = None
+                return
+            (
+                self.fine_sums,
+                self.coarse_sums,
+                world,
+                self.ndt_map,
+                self.coarse_ndt_map,
+            ) = _incremental_map_update(
+                *upd_args,
                 jnp.asarray(origin_c),
                 fine_cfg,
                 coarse_cfg,

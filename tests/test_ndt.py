@@ -318,10 +318,11 @@ class TestPointNNFitness:
         assert fit_far == pytest.approx(4.0)
 
     def test_dense_cell_matches_brute_force(self):
-        """Round-4 advisor finding: a 0.3 m-leaf submap surface patch puts
-        50+ points inside one 2 m bucket cell; bucket_k must not truncate
-        the true NN away. Three stacked 0.3 m-pitch surfaces (~130 pts per
-        2 m cell) vs exact brute-force NN."""
+        """Round-4 advisor finding: the old bucket-grid path truncated NN
+        candidates in dense cells. The round-5 implementation is an exact
+        chunked-MXU distance matrix, asserted here against a reference numpy
+        brute force on a deliberately dense multi-surface patch (~130 pts
+        per 2 m cell)."""
         from lidar_slam_tpu.models.registration import point_nn_fitness_score
 
         rng = np.random.default_rng(2)
