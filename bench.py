@@ -347,20 +347,23 @@ def front_end_leg(workload):
     loaded = [fe.preload(p, m) for p, m in scans]
     # warmup: drives every jitted program (preprocess, coarse+fine align,
     # keyframe downsample, incremental map update) through compilation
+    # warmup must reach a DEFERRED keyframe resolution (frame after the 2nd
+    # keyframe) so the deferred-update dispatch compiles outside the timed
+    # window
     t0 = time.time()
-    for i in range(3):
+    for i in range(6):
         fe.update(None, preloaded=loaded[i])
     _log(f"[front_end] warmup/compiles: {time.time()-t0:.1f}s")
 
     t0 = time.time()
     n_kf0 = fe.n_keyframes
     errs = []
-    for i in range(3, 18):
+    for i in range(6, 18):
         pose, _ = fe.update(None, preloaded=loaded[i])
         errs.append(np.linalg.norm(pose[:3, 3] - traj[i][:3, 3]))
     dt = time.time() - t0
-    fps = 15 / dt
-    _log(f"[front_end] e2e {dt/15*1000:.1f} ms/frame ({fe.n_keyframes - n_kf0} "
+    fps = 12 / dt
+    _log(f"[front_end] e2e {dt/12*1000:.1f} ms/frame ({fe.n_keyframes - n_kf0} "
          f"keyframes), err mean {np.mean(errs):.3f} m")
     assert np.mean(errs) < 0.15, f"front-end e2e error guard ({np.mean(errs):.3f} m)"
 
@@ -402,18 +405,23 @@ def front_end_leg(workload):
     from lidar_slam_tpu.pipeline.front_end import _incremental_map_update
     import jax.numpy as jnp
 
+    from lidar_slam_tpu.pipeline.front_end import coarse_tracking_cfg
+
     slot = (fe.kf_cursor - 1) % cfg.local_frame_num
+    origin_kf = jnp.asarray(
+        fe._lattice_origin(np.asarray(fe.kf_poses[slot])[:3, 3], cfg.ndt, snap_mult=2.0)
+    )
     args = (
         fe.fine_sums, fe.coarse_sums, fe.kf_world[slot],
         fe.kf_masks[slot], fe.kf_weights[slot],
         fe.kf_points[slot], fe.kf_masks[slot], fe.kf_weights[slot],
         fe.kf_poses[slot],
-        jnp.asarray(fe._lattice_origin(np.asarray(fe.kf_poses[slot])[:3, 3], cfg.ndt)),
-        jnp.asarray(fe._lattice_origin(np.asarray(fe.kf_poses[slot])[:3, 3], fe._coarse_map_cfg())),
+        origin_kf,
+        origin_kf,
     )
     # production map configs: tracking maps skip the dense stats views
     fine_cfg = dataclasses.replace(cfg.ndt, dense_stats=False)
-    coarse_cfg = dataclasses.replace(fe._coarse_map_cfg(), dense_stats=False)
+    coarse_cfg = coarse_tracking_cfg(cfg.ndt)
     out = _incremental_map_update(*args, fine_cfg, coarse_cfg)
     jax.device_get(out[3].origin)
     t0 = time.time()
@@ -465,7 +473,51 @@ def aloam_leg():
     return 10 / dt
 
 
-def mfu_roofline(cfg, fps, iters_mean, n_slots):
+def eval_probe(cfg, workload):
+    """Pure derivative-evaluation time: 20 evals chained in ONE program
+    (serial dependency through the pose). Separates the kernel from the
+    per-frame preprocess/sort/align-control costs that dominate the frame
+    number — and from the ~0.9 ms/dispatch transport overhead that made the
+    round-4 per-eval numbers 3x too pessimistic."""
+    import jax
+    import jax.numpy as jnp
+
+    from lidar_slam_tpu.models.registration import build_ndt_map, ndt_derivatives
+    from lidar_slam_tpu.models.registration.ndt import sort_points_by_vid
+    from lidar_slam_tpu.ops import PointCloud, finite_mask, voxel_downsample
+
+    map_cloud, all_pts, all_msk, gt, guess0 = workload
+    ndt_map = build_ndt_map(map_cloud, cfg)
+    m = all_msk[0] & finite_mask(all_pts[0])
+    cloud = PointCloud(points=jnp.where(m[:, None], all_pts[0], 0.0), mask=m)
+    frame = voxel_downsample(cloud, 0.5, out_capacity=FRAME_CAP)
+    pts, msk, w = sort_points_by_vid(
+        ndt_map, frame.points, frame.mask, frame.get_weights(), guess0
+    )
+    pose6 = jnp.zeros(6).at[:3].set(jnp.asarray(guess0)[:3, 3])
+    reps = 20
+
+    @jax.jit
+    def chained(mm, p, k, g):
+        def body(carry, _):
+            pose, acc = carry
+            sc, gr, he, un = ndt_derivatives(
+                mm, p, k, pose, cfg, True, return_unresolved=True
+            )
+            return (pose + 1e-9 * sc * jnp.ones(6, jnp.float32), acc + sc + un), None
+        (pose, acc), _ = jax.lax.scan(body, (g, jnp.float32(0.0)), None, length=reps)
+        return acc
+
+    out = chained(ndt_map, pts, msk, pose6)
+    jax.device_get(out)
+    t0 = time.time()
+    for _ in range(3):
+        out = chained(ndt_map, pts, msk, pose6)
+    jax.device_get(out)
+    return (time.time() - t0) / 3 / reps * 1000.0
+
+
+def mfu_roofline(cfg, fps, iters_mean, n_slots, eval_ms):
     """Analytic FLOP/byte accounting for the fused NDT kernel + an MFU metric.
 
     Counts the per-(point, stencil-slot) work of one derivative evaluation
@@ -476,10 +528,12 @@ def mfu_roofline(cfg, fps, iters_mean, n_slots):
         (MXU) plus ~2*W compare/convert ops building the one-hot mask (VPU);
       - Magnusson score/grad/Hessian math: ~300 FLOP/point (VPU).
 
-    Evaluations per frame = iterations + 1 (one derivative evaluation per
-    Newton step at the reference operating point, line search disabled —
-    max_step_iterations=0). HBM traffic per evaluation is the packed
-    per-point rows (31 f32 + 3 i32 per point); keys/table stay VMEM-resident.
+    `eval_ms` is the DIRECTLY MEASURED chained evaluation time (eval_probe)
+    — round 4 divided the whole frame time by the eval count, which folded
+    preprocess/sort/align control into "eval time" and understated the
+    kernel. The frame split (evals vs other) is logged alongside. HBM
+    traffic per evaluation is the packed per-point rows (31 f32 + 3 i32);
+    keys/table stay VMEM-resident.
 
     Peaks: TPU v5e ~197 TFLOP/s bf16 / ~49 TFLOP/s f32 MXU, ~819 GB/s HBM.
     """
@@ -489,26 +543,27 @@ def mfu_roofline(cfg, fps, iters_mean, n_slots):
     mxu_flops = 2.0 * 16 * w * n * n_slots  # selection contraction
     vpu_ops = (2.0 * w + 300.0) * n * n_slots  # one-hot build + derivative math
     hbm_bytes = n * (31 * 4 + 3 * 4)
-    per_frame_flops = evals * mxu_flops
-    ms_frame = 1000.0 / fps
-    achieved = per_frame_flops / (ms_frame / 1000.0)
     peak_f32 = 49.2e12
-    mfu = achieved / peak_f32
+    mfu = (mxu_flops / (eval_ms / 1000.0)) / peak_f32
     # time lower bounds at peak
     t_mxu = mxu_flops / peak_f32 * 1e3
     t_vpu = vpu_ops / 4.0e12 * 1e3
     t_hbm = hbm_bytes / 819e9 * 1e3
+    ms_frame = 1000.0 / fps
     _log(
         f"[roofline] per eval: {mxu_flops/1e9:.2f} GFLOP MXU (selection), "
         f"{vpu_ops/1e9:.2f} Gop VPU, {hbm_bytes/1e6:.1f} MB HBM -> lower bounds "
-        f"{t_mxu:.2f} / {t_vpu:.2f} / {t_hbm:.3f} ms; measured "
-        f"{ms_frame/evals:.2f} ms/eval ({evals:.1f} evals/frame). "
-        f"Compute-bound (HBM {1000*hbm_bytes/819e9/ (ms_frame/evals)*100:.1f}% of eval time); "
-        f"MXU f32 utilization {mfu*100:.1f}%"
+        f"{t_mxu:.2f} / {t_vpu:.2f} / {t_hbm:.3f} ms; measured {eval_ms:.2f} ms/eval "
+        f"(chained), frame {ms_frame:.1f} ms = {evals:.1f} evals "
+        f"({evals*eval_ms:.1f} ms) + {ms_frame - evals*eval_ms:.1f} ms "
+        f"preprocess/sort/align-control. "
+        f"HBM {100*t_hbm/max(eval_ms,1e-9):.1f}% of eval; "
+        f"MXU f32 utilization {mfu*100:.1f}% of eval time"
     )
     _emit("ndt_mfu", mfu, "fraction_f32_peak",
-          gflop_per_frame=round(per_frame_flops / 1e9, 2),
-          hbm_mb_per_frame=round(evals * hbm_bytes / 1e6, 2))
+          eval_ms=round(eval_ms, 3),
+          gflop_per_eval=round(mxu_flops / 1e9, 2),
+          frame_other_ms=round(ms_frame - evals * eval_ms, 2))
 
 
 def _loop_graph(n, radius, seed=0):
@@ -863,7 +918,9 @@ def main():
     # its JSON line still prints LAST
     fps_tpu, iters_mean = scan_match_leg(f"tpu {stencil} {gather}", cfg, workload)
     derivative_parity_gate(cfg, workload)
-    mfu_roofline(cfg, fps_tpu, iters_mean, n_slots=7 if stencil == "direct7" else 27)
+    eval_ms = eval_probe(cfg, workload)
+    mfu_roofline(cfg, fps_tpu, iters_mean,
+                 n_slots=7 if stencil == "direct7" else 27, eval_ms=eval_ms)
 
     fps_r27, _ = scan_match_leg(
         "tpu radius27 fused", dataclasses.replace(cfg, stencil="radius27"), workload

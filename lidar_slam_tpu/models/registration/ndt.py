@@ -1136,11 +1136,48 @@ def ndt_derivatives(
 
 
 def _solve_newton(hessian, gradient):
-    """delta = H^+ (-g) via symmetric eigendecomposition (the reference uses
-    JacobiSVD, cpp:353-355; for a symmetric 6x6 these agree)."""
-    evals, evecs = jnp.linalg.eigh(hessian)
-    inv = jnp.where(jnp.abs(evals) > 1e-10, 1.0 / evals, 0.0)
-    return -(evecs @ (inv * (evecs.T @ gradient)))
+    """delta = -H^-1 g via an UNROLLED 6x6 LDL^T solve.
+
+    The reference solves with JacobiSVD (cpp:353-355); for a symmetric
+    NONSINGULAR 6x6 the signed-eigenvalue inverse, the SVD solve and LDL^T
+    all agree (signs recombine), and LDL^T handles the indefinite-Hessian
+    iterations NDT produces. jnp.linalg.eigh on a 6x6 lowers to an
+    iterative TPU kernel costing ~1 ms PER NEWTON ITERATION (~40% of a
+    whole tracking frame at the production operating point); this unrolled
+    form is a ~100-op scalar chain. Near-singular pivots yield huge or
+    non-finite deltas, which newton_body's `degenerate` guard converts to
+    convergence — the same outcome the old path reached via zeroed
+    eigenvalues (e.g. the all-zero Hessian of an empty map)."""
+    H = hessian
+    n = 6
+    L = [[None] * n for _ in range(n)]
+    D = [None] * n
+    for j in range(n):
+        s = H[j, j]
+        for k in range(j):
+            s = s - L[j][k] * L[j][k] * D[k]
+        D[j] = s
+        inv_d = 1.0 / s
+        for i in range(j + 1, n):
+            t = H[i, j]
+            for k in range(j):
+                t = t - L[i][k] * L[j][k] * D[k]
+            L[i][j] = t * inv_d
+    # forward: y = L^-1 (-g)
+    y = [None] * n
+    for i in range(n):
+        t = -gradient[i]
+        for k in range(i):
+            t = t - L[i][k] * y[k]
+        y[i] = t
+    # diagonal + backward: delta = L^-T (y / D)
+    x = [None] * n
+    for i in reversed(range(n)):
+        t = y[i] / D[i]
+        for k in range(i + 1, n):
+            t = t - L[k][i] * x[k]
+        x[i] = t
+    return jnp.stack(x)
 
 
 def _psi(a, phi_a, phi_0, d_phi_0, mu):

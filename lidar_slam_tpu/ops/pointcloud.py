@@ -15,7 +15,7 @@ exact (lexicographic sort-based voxel grouping, no hash collisions).
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Tuple
 
 import flax.struct
 import jax
@@ -151,6 +151,67 @@ def voxel_downsample(cloud: PointCloud, leaf_size, out_capacity: Optional[int] =
     wmeans = wsums / denom
     out_mask = counts > 0
     return PointCloud(points=jnp.where(out_mask[:, None], centroids, 0.0), mask=out_mask, weights=wmeans)
+
+
+def voxel_downsample_dense(
+    cloud: PointCloud,
+    leaf_size,
+    out_capacity: int,
+    dims: Tuple[int, int, int] = (352, 352, 96),
+) -> PointCloud:
+    """Sort-free voxel-grid centroid downsampling over a bounded dense grid.
+
+    MEASURED NEGATIVE RESULT (kept for the record + small-grid use): at
+    scan scale (131k points, 352x352x96 grid) this runs 21 ms on a v5e vs
+    the sort-based variant's 6.3 ms — the dense scatter-add + 11.9M-cell
+    compaction loses badly to one [N] key sort. Scatter-adds into a large
+    dense grid serialize; sorts at least stream. A Pallas counting-sort /
+    binning kernel remains the credible path below the sort's 6.3 ms.
+    Semantics: scatter-adds per-voxel moment sums into a dense `dims` grid
+    anchored at the cloud's min corner and compacts occupied cells with
+    cumsum + searchsorted — output voxels in flat-id (x-major) order, the
+    same spatially-coherent order the sorted variant produces.
+
+    Points outside origin + dims*leaf are DROPPED (the default covers a
+    176 m x 176 m x 48 m window — beyond any automotive lidar's single
+    sweep at the production 0.5 m leaf). Centroids match `voxel_downsample`
+    to f32 reduction-order tolerance; use the general version for unbounded
+    inputs (accumulated maps, multi-keyframe concatenations).
+    """
+    out_cap = out_capacity
+    pts = cloud.points
+    mask = cloud.mask
+    w = cloud.get_weights()
+    leaf = jnp.broadcast_to(jnp.asarray(leaf_size, jnp.float32), (3,))
+    v = dims[0] * dims[1] * dims[2]
+
+    coords = _voxel_coords(pts, leaf)
+    big_c = jnp.int32(2**20)
+    cmin = jnp.min(jnp.where(mask[:, None], coords, big_c), axis=0)
+    rel = coords - cmin
+    inb = jnp.all((rel >= 0) & (rel < jnp.asarray(dims, jnp.int32)), axis=-1)
+    ok = mask & inb
+    vid = (rel[:, 0] * dims[1] + rel[:, 1]) * dims[2] + rel[:, 2]
+    vid = jnp.where(ok, vid, v)  # dropped/invalid -> out-of-range segment
+
+    okf = ok.astype(jnp.float32)
+    counts = jax.ops.segment_sum(okf, vid, num_segments=v)
+    sums = jax.ops.segment_sum(pts * okf[:, None], vid, num_segments=v)
+    wsums = jax.ops.segment_sum(w * okf, vid, num_segments=v)
+
+    occupied = counts > 0.0
+    csum = jnp.cumsum(occupied.astype(jnp.int32))
+    total = jnp.minimum(csum[-1], out_cap)
+    j = jnp.arange(out_cap, dtype=jnp.int32)
+    keys = jnp.searchsorted(csum, j + 1, side="left").astype(jnp.int32)
+    has = j < total
+    kv = jnp.where(has, keys, 0)
+
+    cnt = jnp.where(has, counts[kv], 0.0)
+    denom = jnp.maximum(cnt, 1.0)
+    centroids = jnp.where(has[:, None], sums[kv] / denom[:, None], 0.0)
+    wmeans = jnp.where(has, wsums[kv] / denom, 1.0)
+    return PointCloud(points=centroids, mask=has & (cnt > 0), weights=wmeans)
 
 
 def box_crop_mask(points, min_corner, max_corner):

@@ -158,63 +158,6 @@ def _track_step(
     return frame.points, frame.mask, r.pose, r.unresolved
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "capacity", "leaf", "fine_cfg", "coarse_cfg", "upd_fine_cfg", "upd_coarse_cfg", "mesh"
-    ),
-)
-def _track_and_update_step(
-    fine_map,
-    coarse_map,
-    points,
-    mask,
-    predict,
-    # deferred map-maintenance inputs (the PREVIOUS frame's keyframe)
-    fine_sums,
-    coarse_sums,
-    old_world,
-    old_mask,
-    old_weights,
-    kf_points,
-    kf_mask,
-    kf_weights,
-    kf_pose,
-    origin_f,
-    capacity: int,
-    leaf: float,
-    fine_cfg: NDTConfig,
-    coarse_cfg: Optional[NDTConfig],
-    upd_fine_cfg: NDTConfig,
-    upd_coarse_cfg: NDTConfig,
-    mesh=None,
-):
-    """Track THIS frame against the (one-frame-stale) maps while building the
-    previous keyframe's updated maps — both independent subgraphs of ONE
-    program, so XLA interleaves the memory-bound scatter/finalize with the
-    compute-bound alignment instead of serializing a ~40 ms map stall onto
-    the tracking critical path (round-4 verdict item 5; the reference hides
-    the same work behind its process graph, launch/mapping.launch:1-9)."""
-    align = _aligner(mesh)
-    frame = _preprocess.__wrapped__(points, mask, capacity, leaf)
-    guess = predict
-    if coarse_cfg is not None:
-        guess = align(coarse_map, frame, guess, coarse_cfg).pose
-    r = align(fine_map, frame, guess, fine_cfg)
-
-    new_fine_sums, new_coarse_sums, world, new_fine_map, new_coarse_map = (
-        _incremental_map_update.__wrapped__(
-            fine_sums, coarse_sums, old_world, old_mask, old_weights,
-            kf_points, kf_mask, kf_weights, kf_pose, origin_f, origin_f,
-            upd_fine_cfg, upd_coarse_cfg,
-        )
-    )
-    return (
-        frame.points, frame.mask, r.pose, r.unresolved,
-        new_fine_sums, new_coarse_sums, world, new_fine_map, new_coarse_map,
-    )
-
-
 @partial(jax.jit, static_argnames=("base", "radius"))
 def _bbox_weights(
     points,  # [N, 3] keyframe cloud (sensor frame)
@@ -396,7 +339,7 @@ class FrontEndDriveState:
     map_bbox_cursor: jax.Array  # [] int32
     # deferred map maintenance: the newest keyframe's update inputs, applied
     # next frame CONCURRENTLY with that frame's (stale-map) alignment —
-    # matching FrontEnd._pending_update / _track_and_update_step
+    # matching FrontEnd._pending_update (host deferral)
     pend_valid: jax.Array  # [] bool
     pend_old_world: jax.Array  # [P, 3]
     pend_old_mask: jax.Array  # [P]
@@ -510,7 +453,7 @@ def front_end_drive(
 
         # resolve the PREVIOUS keyframe's deferred map maintenance — an
         # independent subgraph of this frame's (stale-map) alignment above,
-        # so XLA interleaves them (FrontEnd._track_and_update_step parity)
+        # so XLA interleaves them (same deferral as the FrontEnd host path)
         def resolve(s: FrontEndDriveState) -> FrontEndDriveState:
             fs, cs, world, fm, cm = _incremental_map_update.__wrapped__(
                 s.fine_sums, s.coarse_sums,
@@ -654,7 +597,7 @@ class FrontEnd:
         self.map_bbox_cursor = 0
 
         self.init_pose = np.eye(4, dtype=np.float32)
-        # deferred map maintenance (see _track_and_update_step)
+        # deferred map maintenance (applied at the NEXT update() call)
         self._pending_update = None
         self.last_pose: Optional[np.ndarray] = None
         self.predict_pose: Optional[np.ndarray] = None
@@ -723,43 +666,43 @@ class FrontEnd:
         use_coarse = cfg.coarse_to_fine and self.coarse_ndt_map is not None
         coarse_cfg = self._coarse_cfg() if use_coarse else None
         coarse_map = self.coarse_ndt_map if use_coarse else self.ndt_map
+        # track THIS frame against the (possibly one-frame-stale) maps FIRST:
+        # its pose buffer completes as soon as the alignment finishes, so the
+        # device_get below does not wait for the deferred map update that
+        # queues behind it
+        f_pts, f_mask, dev_pose, dev_unres = _track_step(
+            self.ndt_map,
+            coarse_map,
+            jnp.asarray(pts_fixed),
+            jnp.asarray(msk_fixed),
+            jnp.asarray(self.predict_pose),
+            cfg.frame_capacity,
+            cfg.frame_leaf,
+            cfg.ndt,
+            coarse_cfg,
+            mesh=self.mesh,
+        )
         pend = self._pending_update
         if pend is not None:
+            # previous keyframe's deferred maintenance: dispatched async AFTER
+            # the track, so it executes while the host round-trips the pose
+            # (a single fused track+update program spent ~40 min in the remote
+            # compile helper and then crashed it — two cached dispatches give
+            # the same off-critical-path effect on a transport backend)
             (
-                f_pts, f_mask, dev_pose, dev_unres,
-                self.fine_sums, self.coarse_sums, world,
-                new_fine_map, new_coarse_map,
-            ) = _track_and_update_step(
+                self.fine_sums,
+                self.coarse_sums,
+                world,
                 self.ndt_map,
-                coarse_map,
-                jnp.asarray(pts_fixed),
-                jnp.asarray(msk_fixed),
-                jnp.asarray(self.predict_pose),
+                self.coarse_ndt_map,
+            ) = _incremental_map_update(
                 *pend["args"],
-                cfg.frame_capacity,
-                cfg.frame_leaf,
-                cfg.ndt,
-                coarse_cfg,
+                pend["args"][-1],
                 pend["fine_cfg"],
                 pend["coarse_cfg"],
-                mesh=self.mesh,
             )
             self.kf_world = self.kf_world.at[pend["slot"]].set(world)
-            self.ndt_map, self.coarse_ndt_map = new_fine_map, new_coarse_map
             self._pending_update = None
-        else:
-            f_pts, f_mask, dev_pose, dev_unres = _track_step(
-                self.ndt_map,
-                coarse_map,
-                jnp.asarray(pts_fixed),
-                jnp.asarray(msk_fixed),
-                jnp.asarray(self.predict_pose),
-                cfg.frame_capacity,
-                cfg.frame_leaf,
-                cfg.ndt,
-                coarse_cfg,
-                mesh=self.mesh,
-            )
         frame = PointCloud(points=f_pts, mask=f_mask)
         # one batched device->host transfer: the pose is needed on the host
         # for the keyframe gate anyway, so fetching `unresolved` in the same
@@ -842,7 +785,8 @@ class FrontEnd:
         `defer=True` (live path, incremental mode, non-first keyframe)
         stashes the map-maintenance inputs instead of dispatching them; the
         next frame's `update()` folds the update into its tracking program
-        (see _track_and_update_step). Restore stays synchronous."""
+        (applied at the next update() call, after that frame's track
+        dispatch). Restore stays synchronous."""
         cfg = self.cfg
         slot = self.kf_cursor % cfg.local_frame_num
         # snapshot the outgoing slot BEFORE overwriting (incremental evict)
