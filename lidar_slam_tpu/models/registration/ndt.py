@@ -1483,8 +1483,13 @@ def sort_points_by_vid(ndt_map: NDTMap, pts, mask, w, init_pose):
     cell0 = jnp.clip(cell0, 0, jnp.asarray(ndt_map.dims, jnp.int32) - 1)
     vid0 = _flat_vid(cell0, ndt_map.dims)
     vid0 = jnp.where(mask, vid0, jnp.int32(2**30))
-    order = jnp.argsort(vid0)
-    return pts[order], mask[order], w[order]
+    # multi-operand sort: carrying the channels through the sort beats
+    # argsort + per-channel reorder gathers ~5x on TPU (see voxel_downsample)
+    _, sx, sy, sz, smi, sw = jax.lax.sort(
+        (vid0, pts[:, 0], pts[:, 1], pts[:, 2], mask.astype(jnp.int32), w),
+        num_keys=1,
+    )
+    return jnp.stack([sx, sy, sz], axis=-1), smi.astype(bool), sw
 
 
 @partial(jax.jit, static_argnames=("config", "max_range"))

@@ -198,10 +198,17 @@ class Matching:
         cloud = PointCloud.from_points(pts, capacity=cfg.local_map_capacity)
         cloud = voxel_downsample(cloud, cfg.local_map_leaf, out_capacity=cfg.local_map_capacity)
         self._local_cloud = cloud
-        self.ndt_map = build_ndt_map(cloud, cfg.ndt)
+        import dataclasses as _dc
+
+        # tracking maps feed only the align path; the dense mean/icov views
+        # (a [V, 3, 3] scatter-back + full-grid eigh at 2.4M voxels) were
+        # measured at ~1.5 s of the refresh stall and nothing here reads them
+        self.ndt_map = build_ndt_map(cloud, _dc.replace(cfg.ndt, dense_stats=False))
         self.coarse_ndt_map = None
         if cfg.coarse_to_fine:
-            self.coarse_ndt_map = build_ndt_map(cloud, self._coarse_cfg())
+            self.coarse_ndt_map = build_ndt_map(
+                cloud, _dc.replace(self._coarse_cfg(), dense_stats=False)
+            )
         self.local_map_origin = center.copy()
 
     def _coarse_cfg(self):
