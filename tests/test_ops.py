@@ -126,3 +126,36 @@ class TestBucketGridKNN:
         assert np.asarray(ok)[0, 0]
         assert int(np.asarray(idx)[0, 0]) == 0
         assert not np.asarray(ok)[0, 1]
+
+
+class TestVoxelDownsampleDense:
+    def test_matches_sorted_variant(self):
+        """The dense-grid (sort-free) variant must agree with the exact
+        sort-based downsample in content AND output order (both emit voxels
+        in x-major flat-id order) for bounded inputs."""
+        import numpy as np
+
+        from lidar_slam_tpu.ops.pointcloud import (
+            PointCloud,
+            voxel_downsample,
+            voxel_downsample_dense,
+        )
+
+        rng = np.random.default_rng(0)
+        pts = rng.uniform(-40, 40, (20000, 3)).astype(np.float32)
+        pts[:, 2] = rng.uniform(-2, 10, 20000)
+        mask = rng.uniform(size=20000) > 0.1
+        w = rng.uniform(0, 1, 20000).astype(np.float32)
+        c = PointCloud(
+            points=jnp.asarray(pts), mask=jnp.asarray(mask), weights=jnp.asarray(w)
+        )
+        a = voxel_downsample(c, 0.5, out_capacity=16384)
+        b = voxel_downsample_dense(c, 0.5, out_capacity=16384)
+        na, nb = int(a.mask.sum()), int(b.mask.sum())
+        assert na == nb
+        pa = np.asarray(a.points)[np.asarray(a.mask)]
+        pb = np.asarray(b.points)[np.asarray(b.mask)]
+        np.testing.assert_allclose(pa, pb, atol=1e-5)
+        wa = np.asarray(a.weights)[np.asarray(a.mask)]
+        wb = np.asarray(b.weights)[np.asarray(b.mask)]
+        np.testing.assert_allclose(wa, wb, atol=1e-5)
