@@ -230,3 +230,50 @@ class TestShardedPipeline:
         # and both stay on the ground truth
         err = np.linalg.norm(np.asarray(poses8)[:, :3, 3] - gt[:, :3, 3], axis=1)
         assert float(err.max()) < 0.35
+
+    def test_drive_with_bboxes_on_mesh(self, mesh8):
+        """Static weighting + mesh sharding compose: the weighted drive runs
+        on the 8-way mesh and matches its single-device trajectory."""
+        from lidar_slam_tpu.io import SyntheticWorld, make_trajectory, simulate_scan
+        from lidar_slam_tpu.pipeline import FrontEndConfig
+        from lidar_slam_tpu.pipeline.front_end import (
+            front_end_drive,
+            init_front_end_drive,
+        )
+
+        fe_cfg = FrontEndConfig(
+            ndt=NDTConfig(resolution=1.0, grid_dims=(96, 96, 24), point_chunk=2048, max_iter=20),
+            frame_capacity=8192,
+            keyframe_capacity=8192,
+            local_frame_num=8,
+        )
+        n = 6
+        world = SyntheticWorld.corridor(length=40, seed=13, curve=0.0)
+        world.add_moving_box([12.0, 2.0, 1.0], [4.0, 1.8, 1.6], 0.0, [-1.0, 0.0], n_points=300)
+        gt = make_trajectory(n, speed=1.0)
+        cap = fe_cfg.raw_capacity
+        B = fe_cfg.max_bboxes
+        pts_seq = np.zeros((n, cap, 3), np.float32)
+        msk_seq = np.zeros((n, cap), bool)
+        box_seq = np.zeros((n, B, 8), np.float32)
+        bok_seq = np.zeros((n, B), bool)
+        for i in range(n):
+            pts, mask, bboxes = simulate_scan(
+                world, gt[i], t=float(i), max_range=30.0, n_points=8192, seed=60 + i
+            )
+            pts_seq[i, : len(pts)] = pts
+            msk_seq[i, : len(pts)] = mask
+            nb = min(len(bboxes), B)
+            box_seq[i, :nb] = bboxes[:nb]
+            bok_seq[i, :nb] = True
+
+        args = (jnp.asarray(pts_seq), jnp.asarray(msk_seq), fe_cfg,
+                jnp.asarray(box_seq), jnp.asarray(bok_seq))
+        st = init_front_end_drive(fe_cfg, init_pose=gt[0])
+        _, poses1, _, _ = front_end_drive(st, *args)
+        st = init_front_end_drive(fe_cfg, init_pose=gt[0])
+        _, poses8, _, unres8 = front_end_drive(st, *args, mesh=mesh8)
+        assert float(np.max(np.asarray(unres8))) == 0.0
+        np.testing.assert_allclose(
+            np.asarray(poses8)[:, :3, 3], np.asarray(poses1)[:, :3, 3], atol=8e-2
+        )
